@@ -1,0 +1,285 @@
+"""Distributed inverted-index build (SURVEY.md §3 "index build job", M1).
+
+Plan (all DataFrame + Arrow kernels; the reference's equivalent structure is
+Lucene's segment index opened at ``final-project/src/bm25_retrieval.py:28-42``):
+
+1. scan pages (Iceberg/parquet) -> filter langs -> extract text (vectorized
+   Arrow UDF, byte-identical to the oracle extractor).
+2. deterministic dense docid assignment: global rank by url via scalable
+   two-phase zipWithIndex (range-repartition by url, per-partition offsets
+   broadcast; NO single-partition window). The rank is a pure function of the
+   url set, so docids are identical at any parallelism.
+3. tokenize once per doc (Arrow kernel) -> one row per doc with parallel
+   term/tf arrays + dl -> JVM-side explode to (docid, term, tf, dl).
+4. partition postings by (term, range_id = docid // range_size): the docid
+   range is a DETERMINISTIC salt — a head term's postings split into bounded
+   chunks, so build-side skew is capped at range_size postings per task
+   (north_star "salted hash-partitioning on term"), and chunk boundaries are
+   aligned across terms so query-time scoring can parallelize by docid range.
+   Per (term, range) an Arrow kernel sorts by docid and emits the
+   delta+varbyte payload + block-max metadata; whole-term views are obtained
+   by a sort-merge combine over chunks (functions/codec.py order guarantees).
+5. aggregate term stats (df, cf) from chunk stats; collection stats
+   (N, avgdl) from doclens — tiny, broadcast at query time so scoring never
+   shuffles document-length data (dl additionally rides inline in payloads).
+6. per-partition lineage rows (input split, term range, postings count,
+   bytes, wall time) -> metrics table; each phase commits a snapshot so the
+   build is resumable (north_star).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import codec
+from ..functions.text import extract_text_series, tokenize_series
+from ..sources.tables import Catalog
+
+TOKENS_SCHEMA = "docid long, dl long, terms array<string>, tfs array<int>"
+POSTINGS_SCHEMA = (
+    "term string, range_id long, df_chunk long, cf_chunk long, "
+    "payload binary, block_last array<long>, block_max_tf array<int>, "
+    "block_min_dl array<int>, build_partition int, build_ms double"
+)
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Build-time knobs. k1/b are NOT here — they stay query-time parameters
+    exactly as in the reference (``set_bm25``, src/bm25_retrieval.py:70)."""
+
+    range_size: int = 1 << 17          # docids per postings chunk (skew cap)
+    block: int = 128                   # postings per block-max block
+    langs: tuple[str, ...] = ("en",)   # analyzer is English (robust04)
+    recompute_text: bool = True        # html -> text via pinned extractor
+    n_partitions: int | None = None    # docid-assignment range partitions
+
+    def fingerprint(self, input_fp: str) -> str:
+        blob = json.dumps([asdict(self), input_fp], sort_keys=True, default=list)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+# --------------------------------------------------------------------------
+# phase 1: docs table (url, docid, text, dl? no — text only) + docid ranks
+# --------------------------------------------------------------------------
+
+def assign_docids(pages: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Deterministic dense docid = global rank of url (0-based).
+
+    Scalable two-phase zipWithIndex: range-partition + sort by url, count per
+    partition, broadcast offsets, per-partition arange. Rank is
+    parallelism-invariant; reference docids are external strings
+    (``FBIS3-10082``-style) — ours map via the docmap table (SURVEY.md §1.2).
+    """
+    spark = pages.sparkSession
+    n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
+    part = (
+        pages.repartitionByRange(n_parts, "url")
+        .sortWithinPartitions("url")
+        .persist()
+    )
+    counts = (
+        part.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid").count().collect()
+    )
+    by_pid = {r["pid"]: r["count"] for r in counts}
+    offsets, acc = {}, 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    # note: StructType.add mutates in place — build a fresh copy instead
+    out_schema = T.StructType(
+        list(part.schema.fields) + [T.StructField("docid", T.LongType())])
+
+    def attach(iterator):
+        ctx = TaskContext.get()
+        base = b_offsets.value.get(ctx.partitionId() if ctx else 0, 0)
+        for pdf in iterator:
+            n = len(pdf)
+            yield pdf.assign(docid=np.arange(base, base + n, dtype=np.int64))
+            base += n
+
+    return part.mapInPandas(attach, schema=out_schema)
+
+
+def extract_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Filter langs, (re)extract text byte-identically, assign docids."""
+    df = pages
+    if cfg.langs:
+        df = df.filter(F.col("lang").isin(list(cfg.langs)))
+    if cfg.recompute_text:
+        @F.pandas_udf("string")
+        def _extract(html: pd.Series) -> pd.Series:
+            return extract_text_series(html)
+        df = df.withColumn("text", _extract(F.col("html")))
+    docs = assign_docids(df.select("url", "text"), cfg.n_partitions)
+    return docs.select("docid", "url", "text")
+
+
+# --------------------------------------------------------------------------
+# phase 2: tokenize -> (docid, term, tf, dl); doclens
+# --------------------------------------------------------------------------
+
+def tokenize_docs(docs: DataFrame) -> DataFrame:
+    """One Arrow pass per doc -> (docid, dl, terms[], tfs[]). Zero-token docs
+    keep a row (dl=0, empty arrays) so N/avgdl count them (oracle parity)."""
+
+    def kernel(iterator):
+        for pdf in iterator:
+            tok_lists = tokenize_series(pdf["text"])
+            dls = tok_lists.map(len).astype("int64")
+            terms, tfs = [], []
+            for toks in tok_lists:
+                tf: dict[str, int] = {}
+                for t in toks:
+                    tf[t] = tf.get(t, 0) + 1
+                ks = list(tf.keys())
+                terms.append(ks)
+                tfs.append([tf[k] for k in ks])
+            yield pd.DataFrame({
+                "docid": pdf["docid"].astype("int64"),
+                "dl": dls,
+                "terms": terms,
+                "tfs": tfs,
+            })
+
+    return docs.select("docid", "text").mapInPandas(kernel, schema=TOKENS_SCHEMA)
+
+
+def explode_tokens(doc_tokens: DataFrame) -> DataFrame:
+    """JVM-side flatten to (docid, term, tf, dl) — no Python in the explode."""
+    return (
+        doc_tokens
+        .select("docid", "dl", F.explode(F.arrays_zip("terms", "tfs")).alias("e"))
+        .select(
+            "docid",
+            F.col("e.terms").alias("term"),
+            F.col("e.tfs").cast("int").alias("tf"),
+            "dl",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# phase 3: postings chunks per (term, range)
+# --------------------------------------------------------------------------
+
+def build_postings(tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """groupBy(term, range_id) -> Arrow kernel: sort by docid, delta+varbyte
+    encode, block-max metadata. Max group size = range_size (skew cap)."""
+    range_size = cfg.range_size
+    block = cfg.block
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        term, range_id = key
+        order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
+        docids = pdf["docid"].to_numpy()[order].astype(np.int64)
+        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
+        dls = pdf["dl"].to_numpy()[order].astype(np.int64)
+        payload = codec.encode_postings(docids, tfs, dls,
+                                        range_start=int(range_id) * range_size)
+        bl, btf, bdl = codec.block_max_meta(docids, tfs, dls, block=block)
+        ctx = TaskContext.get()
+        return pd.DataFrame({
+            "term": [term],
+            "range_id": [int(range_id)],
+            "df_chunk": [len(docids)],
+            "cf_chunk": [int(tfs.sum()) if len(tfs) else 0],
+            "payload": [payload],
+            "block_last": [bl.tolist()],
+            "block_max_tf": [btf.astype(np.int32).tolist()],
+            "block_min_dl": [bdl.astype(np.int32).tolist()],
+            "build_partition": [ctx.partitionId() if ctx else -1],
+            "build_ms": [(time.perf_counter() - t0) * 1e3],
+        })
+
+    with_range = tokens.withColumn(
+        "range_id", (F.col("docid") / F.lit(cfg.range_size)).cast("long")
+    )
+    return with_range.groupBy("term", "range_id").applyInPandas(
+        encode, schema=POSTINGS_SCHEMA
+    )
+
+
+def lineage_from_postings(postings: DataFrame) -> DataFrame:
+    """Per-build-partition lineage: term range, postings count, bytes, wall
+    time (north_star metrics table)."""
+    return (
+        postings.groupBy("build_partition")
+        .agg(
+            F.min("term").alias("term_min"),
+            F.max("term").alias("term_max"),
+            F.count("*").alias("n_chunks"),
+            F.sum("df_chunk").alias("n_postings"),
+            F.sum(F.octet_length("payload")).alias("bytes"),
+            F.sum("build_ms").alias("wall_time_ms"),
+        )
+        .withColumn("phase", F.lit("postings"))
+    )
+
+
+# --------------------------------------------------------------------------
+# driver: full build with snapshot-resumable phases
+# --------------------------------------------------------------------------
+
+def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
+                cfg: IndexConfig = IndexConfig(), input_fp: str = "",
+                force: bool = False) -> dict:
+    """Run all phases; skip any whose snapshot fingerprint already matches
+    (resumability contract). Returns {'stats': {...}} summary."""
+    fp = cfg.fingerprint(input_fp)
+    t_start = time.perf_counter()
+
+    if force or not catalog.has_table("docs", fp):
+        docs = extract_docs(pages, cfg)
+        catalog.write_table(docs, "docs", fingerprint=fp)
+    docs = catalog.read_table(spark, "docs")
+
+    if force or not catalog.has_table("doc_tokens", fp):
+        catalog.write_table(tokenize_docs(docs), "doc_tokens", fingerprint=fp)
+    doc_tokens = catalog.read_table(spark, "doc_tokens")
+
+    if force or not catalog.has_table("postings", fp):
+        catalog.write_table(doc_tokens.select("docid", "dl"), "doclens", fingerprint=fp)
+        tokens = explode_tokens(doc_tokens)
+        postings = build_postings(tokens, cfg)
+        catalog.write_table(postings, "postings", fingerprint=fp)
+        catalog.write_table(lineage_from_postings(
+            catalog.read_table(spark, "postings")), "lineage", fingerprint=fp)
+    postings = catalog.read_table(spark, "postings")
+
+    if force or not catalog.has_table("termstats", fp):
+        termstats = postings.groupBy("term").agg(
+            F.sum("df_chunk").alias("df"), F.sum("cf_chunk").alias("cf"))
+        catalog.write_table(termstats, "termstats", fingerprint=fp)
+        docmap = docs.select("docid", "url")
+        catalog.write_table(docmap, "docmap", fingerprint=fp)
+        doclens = catalog.read_table(spark, "doclens")
+        agg = doclens.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).collect()[0]
+        stats = spark.createDataFrame(
+            [(int(agg["n_docs"]), float(agg["avgdl"] or 0.0),
+              cfg.range_size, cfg.block)],
+            "n_docs long, avgdl double, range_size long, block int")
+        catalog.write_table(stats, "stats", fingerprint=fp)
+
+    srow = catalog.read_table(spark, "stats").collect()[0]
+    return {
+        "n_docs": srow["n_docs"],
+        "avgdl": srow["avgdl"],
+        "fingerprint": fp,
+        "build_sec": time.perf_counter() - t_start,
+    }

@@ -1,0 +1,220 @@
+"""BM25 / RM3 query execution (SURVEY.md §3 "query job", M3-M4).
+
+Reference semantics: Pyserini/Lucene BM25 with k1=0.9, b=0.4
+(``final-project/src/bm25_retrieval.py:45-135``, defaults
+``src/config.py:53-55``), disjunctive OR over query terms, top-k=1000,
+optional RM3 feedback (fb_docs=10, fb_terms=10, original_query_weight=0.5,
+``src/bm25_retrieval.py:119-123``). Batch search is the native Spark shape
+(the reference fakes it with an 8-thread pool, ``src/bm25_retrieval.py:138-178``).
+
+Plan:
+  queries --Arrow tokenize--> (qid, term, weight)          [tiny]
+         \\--broadcast-join--> termstats (df per term)      [no shuffle]
+  postings --broadcast-join--> matched (qid x term chunks) [no shuffle]
+  matched --groupBy(qid, range_id) Arrow kernel-->         [ONE shuffle]
+      decode chunks, accumulate float64 scores in lexicographic term order
+      (pinned summation order = oracle), local top-k
+  --window rank (score DESC, docid ASC) <= k-->            [tiny shuffle]
+      global top-k merge ("partition-parallel score-then-global-merge").
+
+Collection stats (N, avgdl, per-term df) travel as broadcast values; doc
+lengths ride inline in postings payloads — scoring never shuffles
+document-length data (north_star).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import codec
+from ..functions.text import term_freqs, tokenize_series
+from ..sources.tables import Catalog
+
+K1_DEFAULT = 0.9   # reference src/config.py:53-55
+B_DEFAULT = 0.4
+
+SCORED_SCHEMA = "qid string, docid long, score double"
+
+
+@dataclass(frozen=True)
+class SearchParams:
+    k1: float = K1_DEFAULT
+    b: float = B_DEFAULT
+    k: int = 1000                 # retrieval depth (reference default)
+    mode: str = "or"              # "or" = disjunctive | "and" = intersection
+
+
+class IndexReader:
+    """Loads the catalog tables once and caches driver-side scalars."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+        self.postings = catalog.read_table(spark, "postings")
+        self.termstats = catalog.read_table(spark, "termstats")
+        self.docmap = catalog.read_table(spark, "docmap")
+        row = catalog.read_table(spark, "stats").collect()[0]
+        self.n_docs = int(row["n_docs"])
+        self.avgdl = float(row["avgdl"])
+        self.range_size = int(row["range_size"])
+
+
+def tokenize_queries(queries: DataFrame) -> DataFrame:
+    """(qid, text) -> (qid, term, weight=query tf). Same pinned analyzer as
+    indexing (functions/text.py)."""
+
+    def kernel(iterator):
+        for pdf in iterator:
+            toks = tokenize_series(pdf["text"])
+            qids, terms, weights = [], [], []
+            for qid, ts in zip(pdf["qid"], toks):
+                for t, w in term_freqs(ts).items():
+                    qids.append(qid)
+                    terms.append(t)
+                    weights.append(float(w))
+            yield pd.DataFrame({"qid": qids, "term": terms, "weight": weights})
+
+    return queries.mapInPandas(kernel, schema="qid string, term string, weight double")
+
+
+def search_terms(reader: IndexReader, qterms: DataFrame,
+                 params: SearchParams = SearchParams()) -> DataFrame:
+    """Weighted-term search: qterms(qid, term, weight) -> (qid, docid, score,
+    rank). This is both the BM25 core and the RM3 second pass (weights
+    multiply per-term BM25 contributions, SURVEY R8)."""
+    n_docs, avgdl = reader.n_docs, reader.avgdl
+    range_size = reader.range_size
+    k1, b, k, mode = params.k1, params.b, params.k, params.mode
+
+    # df per query term: broadcast the tiny query side; termstats streams.
+    qt = reader.termstats.join(F.broadcast(qterms), "term", "inner")
+    # per-qid count of index-matched terms (conjunctive mode needs the GLOBAL
+    # count — a term absent from one docid range still vetoes its docs).
+    qt_counts = qt.groupBy("qid").agg(
+        F.countDistinct("term").alias("n_qterms"))
+    qt = qt.join(qt_counts, "qid")
+    # matched postings chunks: broadcast the (still tiny) query-term dim.
+    matched = reader.postings.join(
+        F.broadcast(qt.select("qid", "term", "weight", "df", "n_qterms")),
+        "term", "inner",
+    ).select("qid", "term", "weight", "df", "n_qterms", "range_id", "payload")
+
+    def score_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid, range_id = key
+        base = int(range_id) * range_size
+        acc = np.zeros(range_size, dtype=np.float64)
+        hits = np.zeros(range_size, dtype=np.int32)
+        order = np.argsort(pdf["term"].to_numpy(), kind="stable")
+        for i in order:  # lexicographic term order => pinned float summation
+            payload = pdf["payload"].iloc[i]
+            docids, tfs, dls = codec.decode_postings(payload, range_start=base)
+            if docids.size == 0:
+                continue
+            df = float(pdf["df"].iloc[i])
+            w = float(pdf["weight"].iloc[i])
+            idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            s = w * (idf * codec.bm25_tf_norm(tfs, dls, k1, b, avgdl))
+            loc = docids - base
+            acc[loc] += s
+            hits[loc] += 1
+        if mode == "and":
+            n_qterms = int(pdf["n_qterms"].iloc[0])
+            cand = np.flatnonzero(hits == n_qterms)
+        else:
+            cand = np.flatnonzero(hits)
+        scores = acc[cand]
+        if cand.size > k:
+            part = np.argpartition(-scores, k - 1)[:k]
+            cand, scores = cand[part], scores[part]
+        sel = np.lexsort((cand, -scores))
+        cand, scores = cand[sel], scores[sel]
+        return pd.DataFrame({
+            "qid": np.repeat(qid, cand.size),
+            "docid": (cand + base).astype(np.int64),
+            "score": scores,
+        })
+
+    scored = matched.groupBy("qid", "range_id").applyInPandas(
+        score_kernel, schema=SCORED_SCHEMA)
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def search(reader: IndexReader, queries: DataFrame,
+           params: SearchParams = SearchParams()) -> DataFrame:
+    """BM25 top-k over (qid, text) queries — reference R1/R3 batch search."""
+    return search_terms(reader, tokenize_queries(queries), params)
+
+
+def attach_urls(reader: IndexReader, results: DataFrame) -> DataFrame:
+    """Map dense docids back to external ids (urls). The result side is tiny
+    (<= k per query), so broadcast it against the huge docmap."""
+    return reader.docmap.join(F.broadcast(results), "docid", "inner")
+
+
+# ---------------------------------------------------------------------- RM3
+
+def rm3_expand(reader: IndexReader, queries: DataFrame, docs: DataFrame,
+               fb_docs: int = 10, fb_terms: int = 10,
+               original_query_weight: float = 0.5,
+               params: SearchParams = SearchParams()) -> DataFrame:
+    """RM3 relevance model -> expanded weighted terms (qid, term, weight).
+
+    Mirrors the oracle exactly (oracle/bm25_oracle.py:rm3_expand); reference
+    semantics from Anserini's Rm3Reranker invoked via ``set_rm3``
+    (``src/bm25_retrieval.py:88-135``).
+    """
+    first = search(reader, queries,
+                   SearchParams(params.k1, params.b, fb_docs, "or"))
+    fb = docs.select("docid", "text").join(
+        F.broadcast(first.select("qid", "docid", "score")), "docid", "inner")
+    fb = fb.join(F.broadcast(queries.withColumnRenamed("text", "query_text")), "qid")
+    lam = original_query_weight
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (qid,) = key
+        qtf = term_freqs(list(tokenize_series(
+            pd.Series([pdf["query_text"].iloc[0]])))[0])
+        qlen = sum(qtf.values())
+        pq = {t: tf / qlen for t, tf in qtf.items()} if qlen else {}
+        total = float(pdf["score"].sum())
+        pr: dict[str, float] = {}
+        tok_lists = tokenize_series(pdf["text"])
+        for toks, s in zip(tok_lists, pdf["score"]):
+            pdw = s / total if total > 0 else 1.0 / len(pdf)
+            dl = len(toks)
+            if dl == 0:
+                continue
+            for term, tf in term_freqs(toks).items():
+                pr[term] = pr.get(term, 0.0) + pdw * (tf / dl)
+        top = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+        fbw = dict(top)
+        terms = sorted(set(pq) | set(fbw))
+        return pd.DataFrame({
+            "qid": np.repeat(qid, len(terms)),
+            "term": terms,
+            "weight": [lam * pq.get(t, 0.0) + (1 - lam) * fbw.get(t, 0.0)
+                       for t in terms],
+        })
+
+    return fb.groupBy("qid").applyInPandas(
+        kernel, schema="qid string, term string, weight double")
+
+
+def search_rm3(reader: IndexReader, queries: DataFrame, docs: DataFrame,
+               fb_docs: int = 10, fb_terms: int = 10,
+               original_query_weight: float = 0.5,
+               params: SearchParams = SearchParams()) -> DataFrame:
+    """BM25+RM3 two-pass search — reference R2/R4."""
+    expanded = rm3_expand(reader, queries, docs, fb_docs, fb_terms,
+                          original_query_weight, params)
+    return search_terms(reader, expanded, params)

@@ -1,0 +1,31 @@
+"""SparkSession factory with the engine's pinned configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "text-retrieval-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Local session tuned for this sandbox; on a real cluster, spark-submit
+    conf wins (we only set semantic configs unconditionally)."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or max(8, cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # semantic pins: UTC for oracle comparison; Arrow for pandas UDFs
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,85 @@
+"""Thin Iceberg-style table layer: parquet dirs + JSON snapshot manifest.
+
+No Iceberg runtime jar exists in this sandbox (SURVEY.md §7), so the default
+catalog is a directory of parquet tables plus ``_snapshots.json`` emulating
+Iceberg snapshot commits; ``read_table``/``write_table`` switch to real
+``format('iceberg')`` when a catalog is configured. Operators never see this —
+they only get DataFrames (snapshot logic must not leak, SURVEY.md §7 note 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Catalog:
+    """Location + format switch for the engine's tables."""
+
+    root: str
+    use_iceberg: bool = False
+    iceberg_namespace: str = ""
+    _manifest_path: str = field(init=False)
+
+    def __post_init__(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        self._manifest_path = os.path.join(self.root, "_snapshots.json")
+
+    # -- snapshot manifest (emulated Iceberg commit log) ---------------------
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"snapshots": []}
+
+    def _append_snapshot(self, entry: dict) -> None:
+        m = self._load_manifest()
+        entry["snapshot_id"] = len(m["snapshots"]) + 1
+        m["snapshots"].append(entry)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+
+    def snapshot_for(self, table: str, fingerprint: str | None = None) -> dict | None:
+        """Latest committed snapshot for `table` (matching fingerprint if given)."""
+        for s in reversed(self._load_manifest()["snapshots"]):
+            if s["table"] == table and (fingerprint is None or s.get("fingerprint") == fingerprint):
+                return s
+        return None
+
+    # -- table IO -------------------------------------------------------------
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write_table(self, df: DataFrame, table: str, fingerprint: str = "",
+                    mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        if self.use_iceberg:
+            full = f"{self.iceberg_namespace}.{table}"
+            w = df.writeTo(full)
+            (w.createOrReplace() if mode == "overwrite" else w.append())
+        else:
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self.path(table))
+        self._append_snapshot({
+            "table": table,
+            "fingerprint": fingerprint,
+            "committed_at": time.time(),
+        })
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        if self.use_iceberg:
+            return spark.read.format("iceberg").load(f"{self.iceberg_namespace}.{table}")
+        return spark.read.parquet(self.path(table))
+
+    def has_table(self, table: str, fingerprint: str | None = None) -> bool:
+        if self.snapshot_for(table, fingerprint) is None:
+            return False
+        return self.use_iceberg or os.path.exists(self.path(table))
