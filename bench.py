@@ -1,0 +1,170 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline suite at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Headline pieces:
+* index_build      — full inverted-index build over the documents table
+                     (docs/sec reported in extras)
+* bm25_batch50     — 50-query batch BM25 top-1000 against the built index
+* bm25_p50/p99     — per-query latency over 20 single-query runs
+* entry operators  — a representative subset of the driver-contract queries
+
+Set SPARK_GRAFT_SCALING=1 to additionally run the index build at local[8]
+and local[32] and report throughput + scaling efficiency (sandbox proxy for
+N vs 4N executors per the BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from text_retrieval_and_search_engines_spark import entry_queries  # noqa: E402
+from text_retrieval_and_search_engines_spark.plans.index_build import (  # noqa: E402
+    IndexConfig, build_index)
+from text_retrieval_and_search_engines_spark.plans.query import (  # noqa: E402
+    IndexReader, SearchParams, search)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+ENTRY_OPS = [
+    "bm25_topk", "term_stats", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "ann_cosine_topk", "lang_id", "quality_score",
+    "token_count", "agg_maxp", "fusion_rrf", "rank_topk", "eval_metrics",
+]
+
+
+def make_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.appName("bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def corpus_df(spark):
+    """documents table as the engine corpus (url=doc_id, text as-is)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return docs.select(
+        F.format_string("doc%09d", F.col("doc_id")).alias("url"),
+        F.col("text"))
+
+
+def build_queries(spark, n=50):
+    """Deterministic query set from corpus head terms."""
+    terms = [r["term"] for r in entry_queries.q_term_stats(spark, SF_DIR)
+             .collect()]
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(n):
+        k = int(rng.integers(2, 5))
+        qterms = [terms[int(rng.integers(0, len(terms)))] for _ in range(k)]
+        rows.append((str(301 + i), " ".join(qterms)))
+    return rows
+
+
+def bench_index_and_query(cpus: int, do_entry_ops: bool) -> dict:
+    from text_retrieval_and_search_engines_spark.sources.tables import Catalog
+
+    spark = make_spark(cpus)
+    out: dict = {"queries": {}}
+    root = f"/tmp/bench_catalog_{cpus}"
+    shutil.rmtree(root, ignore_errors=True)
+    catalog = Catalog(root)
+    corpus = corpus_df(spark)
+    n_docs = corpus.count()
+
+    t0 = time.perf_counter()
+    cfg = IndexConfig(range_size=1 << 17, langs=(), recompute_text=False)
+    build_index(spark, corpus, catalog, cfg, input_fp=f"bench-{SF_DIR}")
+    t_build = time.perf_counter() - t0
+    out["queries"]["index_build"] = round(t_build, 3)
+    out["index_docs_per_sec"] = round(n_docs / t_build, 1)
+    out["n_docs"] = n_docs
+
+    reader = IndexReader(spark, catalog)
+    qrows = build_queries(spark)
+    qdf = spark.createDataFrame(qrows, "qid string, text string")
+
+    t0 = time.perf_counter()
+    n_hits = search(reader, qdf, SearchParams(k=1000)).count()
+    t_batch = time.perf_counter() - t0
+    out["queries"]["bm25_batch50"] = round(t_batch, 3)
+    out["batch_hits"] = n_hits
+
+    lats = []
+    for qid, text in qrows[:20]:
+        q1 = spark.createDataFrame([(qid, text)], "qid string, text string")
+        t0 = time.perf_counter()
+        search(reader, q1, SearchParams(k=1000)).count()
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    out["queries"]["bm25_p50"] = round(lats[len(lats) // 2], 3)
+    out["queries"]["bm25_p99"] = round(lats[min(len(lats) - 1,
+                                                int(len(lats) * 0.99))], 3)
+
+    if do_entry_ops:
+        for name in ENTRY_OPS:
+            fn = entry_queries.QUERY_FNS[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            out["queries"][name] = round(time.perf_counter() - t0, 3)
+
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    result = bench_index_and_query(CPUS, do_entry_ops=True)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    payload = {
+        "metric": "headline_suite_sec",
+        "value": round(sum(result["queries"].values()), 3),
+        "unit": "sec",
+        "queries": result["queries"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "index_docs_per_sec": result["index_docs_per_sec"],
+        "n_docs": result["n_docs"],
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scale = {}
+        for c in (8, 32):
+            r = bench_index_and_query(c, do_entry_ops=False)
+            scale[str(c)] = {
+                "index_docs_per_sec": r["index_docs_per_sec"],
+                "index_build_sec": r["queries"]["index_build"],
+                "bm25_batch50_sec": r["queries"]["bm25_batch50"],
+            }
+        thr8 = scale["8"]["index_docs_per_sec"]
+        thr32 = scale["32"]["index_docs_per_sec"]
+        payload["scaling"] = scale
+        payload["scaling_efficiency_index"] = round(thr32 / (4.0 * thr8), 3)
+        qthr8 = 1.0 / scale["8"]["bm25_batch50_sec"]
+        qthr32 = 1.0 / scale["32"]["bm25_batch50_sec"]
+        payload["scaling_efficiency_query"] = round(qthr32 / (4.0 * qthr8), 3)
+
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Dedup / similarity / textstats / multimodal operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from text_retrieval_and_search_engines_spark.operators import (
+    dedup, multimodal, similarity, textstats)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "The  quick   brown fox jumps over the lazy dog"),  # ws-normalized dup
+        (3, "the quick brown fox leaps over the lazy dog"),   # near dup
+        (4, "completely different content about spark engines and indexes"),
+        (5, "der hund und die katze sind nicht hier aber der vogel ist da"),
+        (6, "le chat est dans la maison et les oiseaux sont pour le jardin"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = {r["keep_id"]: r["group_size"]
+              for r in dedup.exact_dedup(docs).collect()}
+    assert groups[0] == 3  # docs 0,1,2 collapse after normalization
+    assert groups[3] == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    sh = dedup.char_shingles(docs.filter("doc_id < 7"))
+    sig = dedup.minhash_signatures(sh)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_lsh_pairs(sig).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs  # exact dups always collide
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(
+               sh, dedup.minhash_lsh_pairs(sig)).collect()}
+    assert math.isclose(jac[(0, 1)], 1.0)
+    if (0, 3) in jac:
+        assert 0.5 < jac[(0, 3)] < 1.0
+
+
+def test_simhash_near_dup(docs):
+    fps = dedup.simhash(docs.filter("doc_id < 7"))
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert vals[0] == vals[1] == vals[2]  # identical token multisets
+    ham_03 = bin(vals[0] ^ vals[3]).count("1")
+    ham_04 = bin(vals[0] ^ vals[4]).count("1")
+    assert ham_03 < ham_04  # near-dup closer than unrelated
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_neardup(fps, max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(20):
+        if i == 1:
+            v = base * 2.0                      # same direction as 0
+        elif i == 2:
+            v = base + rng.standard_normal(8) * 0.01  # near dup of 0
+        else:
+            v = rng.standard_normal(8)
+        if i == 0:
+            v = base
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk(emb):
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    top = similarity.cosine_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r["nbr_id"] for r in top][:2] in ([0, 1], [1, 0])
+    assert math.isclose(top[0]["cosine"], 1.0, abs_tol=1e-9)
+    assert top[2]["nbr_id"] == 2  # near-dup third
+
+
+def test_cosine_neardup_pairs(emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.cosine_neardup_pairs(emb, 0.95).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+
+
+def test_lsh_buckets_group_near_dups(emb):
+    b = {r["vec_id"]: r["bucket"]
+         for r in similarity.lsh_buckets(emb, n_planes=8, seed=1).collect()}
+    assert b[0] == b[1] == b[2]  # colinear vectors share all sign bits
+
+
+def test_lsh_cosine_topk_recall(emb):
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("qid"), "embedding")
+    approx = similarity.lsh_cosine_topk(emb, q, k=3, n_planes=4, seed=1).collect()
+    ids = {r["nbr_id"] for r in approx}
+    assert {0, 1, 2} <= ids  # bucket contains the colinear trio
+
+
+def test_language_id(docs):
+    got = {r["doc_id"]: r["lang_guess"]
+           for r in textstats.language_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[5] == "de"
+    assert got[6] == "fr"
+    assert got[7] == "und"
+
+
+def test_quality_and_tokens(docs):
+    q = {r["doc_id"]: r for r in textstats.quality_features(docs).collect()}
+    assert q[0]["n_words"] == 9
+    assert q[7]["quality_score"] < q[4]["quality_score"]
+    t = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}
+    assert t[0]["ws_tokens"] == 9
+    assert t[0]["bpe_tokens"] == sum(
+        -(-len(w) // 4) for w in
+        "the quick brown fox jumps over the lazy dog".split())
+    assert t[7]["ws_tokens"] == 0
+
+
+def test_fingerprints(docs):
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in textstats.doc_fingerprint(docs).collect()}
+    assert fp[0] == fp[1] == fp[2]
+    assert fp[0] != fp[3]
+    wf = {r["doc_id"]: set(r["fingerprints"])
+          for r in textstats.winnowing_fingerprints(docs).collect()}
+    assert wf[0] == wf[1]
+    inter = len(wf[0] & wf[3]) / len(wf[0] | wf[3])
+    assert inter > 0.5  # near-dup shares most winnowed hashes
+    assert len(wf[0] & wf[4]) / len(wf[0] | wf[4]) < 0.2
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in feats)
+    # determinism: same payload -> same features
+    f2 = multimodal.extract_features(multimodal.synth_media(spark, 30)).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == \
+           {r["media_id"]: r["features"] for r in f2}
+    resized = multimodal.resize_images(media, 8, 8).collect()
+    assert all(r["width"] == 8 for r in resized)
+    frames = multimodal.sample_frames(media, every_ms=5000)
+    n_video = media.filter("kind = 'video'").count()
+    assert frames.select("media_id").distinct().count() == n_video
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", fake=False)

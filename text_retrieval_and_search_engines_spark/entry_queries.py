@@ -1,0 +1,747 @@
+"""Driver-contract query registry: Spark plans + exact DuckDB-SQL twins.
+
+Each entry here is an implemented operator from SURVEY.md §2 (or a
+training-data pipeline operator), expressed as a (spark, sf_dir) -> DataFrame
+callable plus an ANSI-SQL oracle string the driver runs in DuckDB on the same
+parquet tables. Column names/types and value rounding are pinned on both
+sides; ranks are always computed over ROUNDED scores with (score DESC, id
+ASC) tie-breaks so float summation-order differences can never flip a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import aggregation as agg_ops
+from .operators import dedup, evaluation, fusion, similarity, textstats
+from .plans import bm25_relational as bm25
+
+# ---------------------------------------------------------------------------
+# shared fixtures
+# ---------------------------------------------------------------------------
+
+BM25_QUERIES = [
+    ("q1", "spark query join"),
+    ("q2", "merge sort table scan"),
+    ("q3", "stream batch window"),
+    ("q4", "vector hash customer data"),
+]
+
+DEDUP_LIMIT = 300        # docs used for pairwise dedup entries
+STOP10 = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents")
+
+
+def _docs_small(spark, sf_dir):
+    return _docs(spark, sf_dir).filter(F.col("doc_id") < DEDUP_LIMIT)
+
+
+# events -> passages(qid, docid, passage_idx, score)
+def _passages(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("event_type").alias("qid"),
+        F.col("user_id").alias("docid"),
+        (F.row_number().over(w) - 1).alias("passage_idx"),
+        F.col("value").alias("score"))
+
+
+PASSAGES_SQL = """
+SELECT event_type AS qid, user_id AS docid,
+       row_number() OVER (PARTITION BY event_type, user_id
+                          ORDER BY ts, event_id) - 1 AS passage_idx,
+       value AS score
+FROM events
+"""
+
+
+# events -> three runs with EXACT (order-independent) scores
+def _runs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(F.col("event_type").alias("qid"),
+                   F.col("user_id").alias("docid"))
+    r1 = g.agg(F.count("*").cast("double").alias("score")).withColumn(
+        "run_id", F.lit("r1"))
+    r2 = g.agg(F.max("value").alias("score")).withColumn("run_id", F.lit("r2"))
+    r3 = g.agg(F.min("value").alias("score")).withColumn("run_id", F.lit("r3"))
+    return r1.unionByName(r2).unionByName(r3).select(
+        "run_id", "qid", "docid", "score")
+
+
+RUNS_SQL = """
+SELECT 'r1' AS run_id, event_type AS qid, user_id AS docid,
+       count(*)::DOUBLE AS score FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'r2', event_type, user_id, max(value) FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'r3', event_type, user_id, min(value) FROM events GROUP BY 2, 3
+"""
+
+
+def _qrels(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("qid"), F.col("user_id").alias("docid"),
+        (F.col("user_id") % 3).cast("int").alias("rel")).distinct()
+
+
+QRELS_SQL = """
+SELECT DISTINCT event_type AS qid, user_id AS docid,
+       (user_id % 3)::INT AS rel FROM events
+"""
+
+
+def _run2(spark, sf_dir):
+    return (_runs(spark, sf_dir).filter(F.col("run_id") == "r2")
+            .select("qid", "docid", "score"))
+
+
+RUN2_SQL = ("SELECT event_type AS qid, user_id AS docid, max(value) AS score "
+            "FROM events GROUP BY 1, 2")
+
+WORDS_SQL = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+             "w -> w != '')")
+NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# individual queries
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(spark, sf_dir):
+    return bm25.bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
+
+
+def q_bm25_and(spark, sf_dir):
+    return bm25.bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10, mode="and")
+
+
+def q_term_stats(spark, sf_dir):
+    tf = bm25.term_frequencies(bm25.simple_tokens(_docs(spark, sf_dir)))
+    return (bm25.document_frequencies(tf)
+            .orderBy(F.desc("df"), F.asc("term")).limit(50))
+
+
+TERM_STATS_SQL = f"""
+WITH tokens AS ({bm25.simple_tokens_sql()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2)
+SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1
+ORDER BY df DESC, term ASC LIMIT 50
+"""
+
+
+def q_collection_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tokens = bm25.simple_tokens(docs)
+    n_docs = docs.count()
+    return (tokens.agg(F.count("*").alias("total_tokens"))
+            .select(F.lit(n_docs).cast("long").alias("n_docs"),
+                    "total_tokens",
+                    F.round(F.col("total_tokens") / F.lit(float(n_docs)), 6)
+                    .alias("avgdl")))
+
+
+COLLECTION_STATS_SQL = f"""
+WITH tokens AS ({bm25.simple_tokens_sql()})
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       count(*) AS total_tokens,
+       round(count(*) / (SELECT count(*) FROM documents)::DOUBLE, 6) AS avgdl
+FROM tokens
+"""
+
+
+def q_tokenize_tf(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return bm25.term_frequencies(bm25.simple_tokens(docs))
+
+
+TOKENIZE_TF_SQL = f"""
+WITH tokens AS ({bm25.simple_tokens_sql()})
+SELECT doc_id, term, count(*) AS tf FROM tokens WHERE doc_id < 50
+GROUP BY 1, 2
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5({NORM_SQL}) AS text_hash, count(*) AS group_size,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def _shingles_sql(limit: int = DEDUP_LIMIT, k: int = 5) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {NORM_SQL} AS t FROM documents
+           WHERE doc_id < {limit}),
+s AS (SELECT doc_id, t,
+             unnest(generate_series(1, greatest(length(t) - {k - 1}, 1))) AS i
+      FROM t)
+SELECT DISTINCT doc_id, substr(t, i, {k}) AS shingle FROM s
+"""
+
+
+def _minhash_sql_exprs(n: int = dedup.MINHASH_N) -> str:
+    cols = ", ".join(
+        f"min({dedup.h64_sql('shingle', f'mh{j}:')}) AS mh_{j}"
+        for j in range(n))
+    return f"SELECT doc_id, {cols} FROM shingles GROUP BY doc_id"
+
+
+def _lsh_pairs_sql() -> str:
+    n, bands = dedup.MINHASH_N, dedup.LSH_BANDS
+    rpb = n // bands
+    band_selects = []
+    for b in range(bands):
+        parts = " || '|' || ".join(
+            f"mh_{b * rpb + r}::VARCHAR" for r in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sigs")
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+shingles AS ({_shingles_sql()}),
+sigs AS ({_minhash_sql_exprs()}),
+buckets AS ({buckets}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+       ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id)
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    sh = dedup.char_shingles(_docs_small(spark, sf_dir))
+    return dedup.minhash_lsh_pairs(dedup.minhash_signatures(sh))
+
+
+DEDUP_MINHASH_SQL = f"WITH {_lsh_pairs_sql()} SELECT doc_a, doc_b FROM pairs"
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    sh = dedup.char_shingles(_docs_small(spark, sf_dir))
+    pairs = dedup.minhash_lsh_pairs(dedup.minhash_signatures(sh))
+    j = dedup.ngram_jaccard_pairs(sh, pairs)
+    return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH {_lsh_pairs_sql()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+common AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS c
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(c / (za.n + zb.n - c), 6) AS jaccard
+FROM common JOIN sizes za ON za.doc_id = doc_a
+            JOIN sizes zb ON zb.doc_id = doc_b
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs_small(spark, sf_dir))
+
+
+def _simhash_sql(bits: int = 32, limit: int = DEDUP_LIMIT) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS v_{i}"
+        for i in range(bits))
+    fp = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({WORDS_SQL}) AS term
+  FROM documents WHERE doc_id < {limit}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+hashed AS (SELECT doc_id, tf, {dedup.h64_sql('term', 'sh:')} AS h FROM tf),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"), "embedding"))
+    c = similarity.with_norm(emb).select(
+        F.col("vec_id").alias("nbr_id"), F.col("_vec").alias("cv"),
+        F.col("_norm").alias("cn"))
+    qq = similarity.with_norm(q).select(
+        "qid", F.col("_vec").alias("qv"), F.col("_norm").alias("qn"))
+    scored = (c.join(F.broadcast(qq))
+              .select("qid", "nbr_id",
+                      F.round(similarity._dot(F.col("cv"), F.col("qv"))
+                              / (F.col("cn") * F.col("qn")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5))
+
+
+ANN_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv,
+             sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 5),
+c AS (SELECT vec_id AS nbr_id, v AS cv,
+             sqrt(list_dot_product(v, v)) AS cn FROM e),
+scored AS (
+  SELECT qid, nbr_id,
+         round(list_dot_product(cv, qv) / (cn * qn), 6) AS cosine
+  FROM c CROSS JOIN q),
+ranked AS (
+  SELECT qid, nbr_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nbr_id ASC)::INT AS rank
+  FROM scored)
+SELECT qid, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    c = similarity.with_norm(emb).select(
+        F.col("vec_id").alias("id"), F.col("_vec").alias("v"),
+        F.col("_norm").alias("n"))
+    a = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("n").alias("na"))
+    b = c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("n").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(similarity._dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+EMB_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS n
+           FROM embeddings WHERE vec_id < 400)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.35
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+def _lang_id_sql() -> str:
+    hits = []
+    for lang in sorted(textstats.LANG_MARKERS):
+        lst = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang])
+        hits.append(
+            f"len(list_filter(words, w -> list_contains([{lst}], w)))::INT"
+            f" AS hits_{lang}")
+    langs = sorted(textstats.LANG_MARKERS)
+    guess = "'und'"
+    for lang in sorted(langs, reverse=True):
+        guess = (f"CASE WHEN hits_{lang} = best AND best > 0 "
+                 f"THEN '{lang}' ELSE {guess} END")
+    best = "greatest(" + ", ".join(f"hits_{x}" for x in langs) + ")"
+    cols = ", ".join(f"hits_{x}" for x in langs)
+    return f"""
+WITH w AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents),
+h AS (SELECT doc_id, {", ".join(hits)} FROM w),
+b AS (SELECT *, {best} AS best FROM h)
+SELECT doc_id, {cols}, {guess} AS lang_guess FROM b
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def q_quality(spark, sf_dir):
+    return textstats.quality_features(_docs(spark, sf_dir))
+
+
+STOP10_SQL = "[" + ", ".join(f"'{w}'" for w in STOP10) + "]"
+
+QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n_chars, {WORDS_SQL} AS words
+  FROM documents),
+feat AS (
+  SELECT doc_id, n_chars, len(words)::INT AS n_words,
+         CASE WHEN len(words) > 0 THEN
+           list_aggregate(list_transform(words, w -> length(w)), 'sum')::DOUBLE
+           / len(words) ELSE 0.0 END AS mean_wlen,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         len(list_filter(words, w -> list_contains({STOP10_SQL}, w)))
+             AS stop_hits
+  FROM base),
+r AS (
+  SELECT doc_id, n_chars, n_words, mean_wlen,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_words > 0 THEN stop_hits / n_words ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_words BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END AS length_ok,
+         CASE WHEN mean_wlen BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END AS wlen_ok
+  FROM feat)
+SELECT doc_id, n_chars, n_words,
+       round(mean_wlen, 6) AS mean_word_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(0.4 * length_ok + 0.2 * wlen_ok
+             + 0.2 * (1.0 - least(punct_ratio * 10, 1.0))
+             + 0.2 * (1.0 - least(digit_ratio * 5, 1.0)), 6) AS quality_score
+FROM r
+"""
+
+
+def q_token_count(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+TOKEN_COUNT_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ws,
+         {WORDS_SQL} AS words
+  FROM documents)
+SELECT doc_id, len(ws)::BIGINT AS ws_tokens, len(words)::BIGINT AS word_tokens,
+       coalesce(list_aggregate(
+         list_transform(words, w -> ceil(length(w) / 4.0)::BIGINT), 'sum'),
+         0)::BIGINT AS bpe_tokens
+FROM base
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.doc_fingerprint(_docs(spark, sf_dir))
+
+
+FINGERPRINT_SQL = f"SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents"
+
+
+# aggregation family ---------------------------------------------------------
+
+def q_agg_maxp(spark, sf_dir):
+    return agg_ops.max_p(_passages(spark, sf_dir))
+
+
+def q_agg_sump(spark, sf_dir):
+    return agg_ops.sum_p(_passages(spark, sf_dir)).withColumn(
+        "score", F.round("score", 6))
+
+
+def q_agg_firstp(spark, sf_dir):
+    return agg_ops.first_p(_passages(spark, sf_dir))
+
+
+def q_agg_avgp(spark, sf_dir):
+    return agg_ops.avg_p(_passages(spark, sf_dir)).withColumn(
+        "score", F.round("score", 6))
+
+
+def q_agg_top3p(spark, sf_dir):
+    return agg_ops.topk_p(_passages(spark, sf_dir), 3).withColumn(
+        "score", F.round("score", 6))
+
+
+def q_agg_maxfirst(spark, sf_dir):
+    return agg_ops.max_first_hybrid(_passages(spark, sf_dir)).withColumn(
+        "score", F.round("score", 6))
+
+
+AGG_MAXP_SQL = f"WITH p AS ({PASSAGES_SQL}) SELECT qid, docid, max(score) AS score FROM p GROUP BY 1, 2"
+AGG_SUMP_SQL = f"WITH p AS ({PASSAGES_SQL}) SELECT qid, docid, round(sum(score), 6) AS score FROM p GROUP BY 1, 2"
+AGG_FIRSTP_SQL = f"WITH p AS ({PASSAGES_SQL}) SELECT qid, docid, arg_min(score, passage_idx) AS score FROM p GROUP BY 1, 2"
+AGG_AVGP_SQL = f"WITH p AS ({PASSAGES_SQL}) SELECT qid, docid, round(avg(score), 6) AS score FROM p GROUP BY 1, 2"
+AGG_TOP3P_SQL = f"""
+WITH p AS ({PASSAGES_SQL}),
+r AS (SELECT qid, docid, score,
+             row_number() OVER (PARTITION BY qid, docid
+                                ORDER BY score DESC, passage_idx ASC) AS rn
+      FROM p)
+SELECT qid, docid, round(avg(score), 6) AS score FROM r WHERE rn <= 3
+GROUP BY 1, 2
+"""
+AGG_MAXFIRST_SQL = f"""
+WITH p AS ({PASSAGES_SQL})
+SELECT qid, docid,
+       round(0.7 * max(score) + 0.3 * arg_min(score, passage_idx), 6) AS score
+FROM p GROUP BY 1, 2
+"""
+
+
+# fusion family ---------------------------------------------------------------
+
+RANKS_SQL = f"""
+runs AS ({RUNS_SQL}),
+ranked AS (
+  SELECT run_id, qid, docid, score,
+         row_number() OVER (PARTITION BY run_id, qid
+                            ORDER BY score DESC, docid ASC) AS rank
+  FROM runs)
+"""
+
+NORM_RUNS_SQL = f"""
+runs AS ({RUNS_SQL}),
+normed AS (
+  SELECT run_id, qid, docid,
+         CASE WHEN max(score) OVER w = min(score) OVER w THEN 0.5
+              ELSE (score - min(score) OVER w)
+                   / (max(score) OVER w - min(score) OVER w) END AS norm
+  FROM runs WINDOW w AS (PARTITION BY run_id, qid))
+"""
+
+
+def q_fusion_rrf(spark, sf_dir):
+    return fusion.rrf(_runs(spark, sf_dir)).withColumn(
+        "score", F.round("score", 9))
+
+
+FUSION_RRF_SQL = f"""
+WITH {RANKS_SQL}
+SELECT qid, docid, round(sum(1.0 / (60.0 + rank)), 9) AS score
+FROM ranked GROUP BY 1, 2
+"""
+
+
+def q_fusion_combsum(spark, sf_dir):
+    return fusion.combsum(_runs(spark, sf_dir)).withColumn(
+        "score", F.round("score", 9))
+
+
+FUSION_COMBSUM_SQL = f"""
+WITH {NORM_RUNS_SQL}
+SELECT qid, docid, round(sum(norm), 9) AS score FROM normed GROUP BY 1, 2
+"""
+
+
+def q_fusion_combmnz(spark, sf_dir):
+    return fusion.combmnz(_runs(spark, sf_dir)).withColumn(
+        "score", F.round("score", 9))
+
+
+FUSION_COMBMNZ_SQL = f"""
+WITH {NORM_RUNS_SQL}
+SELECT qid, docid, round(sum(norm) * count(*), 9) AS score
+FROM normed GROUP BY 1, 2
+"""
+
+
+def q_fusion_weighted(spark, sf_dir):
+    return fusion.weighted_fusion(
+        _runs(spark, sf_dir), {"r1": 0.5, "r2": 0.3, "r3": 0.2}).withColumn(
+        "score", F.round("score", 9))
+
+
+FUSION_WEIGHTED_SQL = f"""
+WITH {NORM_RUNS_SQL},
+w AS (SELECT * FROM (VALUES ('r1', 0.5), ('r2', 0.3), ('r3', 0.2))
+      AS t(run_id, weight))
+SELECT qid, docid, round(sum(weight * norm), 9) AS score
+FROM normed JOIN w USING (run_id) GROUP BY 1, 2
+"""
+
+
+# window ops ------------------------------------------------------------------
+
+def q_rank_topk(spark, sf_dir):
+    r = agg_ops.rank_by_score(_run2(spark, sf_dir))
+    return r.filter(F.col("rank") <= 5).select("qid", "docid", "score", "rank")
+
+
+RANK_TOPK_SQL = f"""
+WITH run AS ({RUN2_SQL}),
+r AS (SELECT qid, docid, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, docid ASC)::INT AS rank
+      FROM run)
+SELECT qid, docid, score, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_minmax_norm(spark, sf_dir):
+    out = agg_ops.minmax_normalize(_run2(spark, sf_dir))
+    return out.select("qid", "docid", "score",
+                      F.round("score_norm", 9).alias("score_norm"))
+
+
+MINMAX_NORM_SQL = f"""
+WITH run AS ({RUN2_SQL})
+SELECT qid, docid, score,
+       round(CASE WHEN max(score) OVER w = min(score) OVER w THEN score
+                  ELSE (score - min(score) OVER w)
+                       / (max(score) OVER w - min(score) OVER w) END,
+             9) AS score_norm
+FROM run WINDOW w AS (PARTITION BY qid)
+"""
+
+
+# evaluation ------------------------------------------------------------------
+
+def q_eval_metrics(spark, sf_dir):
+    run, qrels = _run2(spark, sf_dir), _qrels(spark, sf_dir)
+    out = evaluation.average_precision(run, qrels).withColumnRenamed("ap", "map")
+    out = out.join(evaluation.ndcg_at(run, qrels, 10), "qid")
+    out = out.join(evaluation.precision_at(run, qrels, 10), "qid")
+    out = out.join(evaluation.recall_at(run, qrels, 100), "qid")
+    return out.select(
+        "qid", F.round("map", 9).alias("map"),
+        F.round("ndcg_10", 9).alias("ndcg_10"),
+        F.round("p_10", 9).alias("p_10"),
+        F.round("recall_100", 9).alias("recall_100"))
+
+
+EVAL_SQL = f"""
+WITH run AS ({RUN2_SQL}),
+qrels AS ({QRELS_SQL}),
+nr AS (SELECT qid, count(*) AS num_rel FROM qrels WHERE rel > 0 GROUP BY 1),
+ranked AS (
+  SELECT r.qid, r.docid,
+         row_number() OVER (PARTITION BY r.qid
+                            ORDER BY r.score DESC, r.docid ASC) AS rank,
+         coalesce(q.rel, 0) AS rel,
+         CASE WHEN coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END AS is_rel
+  FROM run r LEFT JOIN qrels q ON r.qid = q.qid AND r.docid = q.docid),
+cum AS (SELECT *, sum(is_rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_rel
+        FROM ranked),
+ap AS (SELECT qid, sum(CASE WHEN is_rel = 1 THEN cum_rel::DOUBLE / rank END)
+                   AS sum_prec
+       FROM cum GROUP BY 1),
+dcg AS (SELECT qid, sum(rel / log2(rank + 1)) AS dcg
+        FROM ranked WHERE rank <= 10 GROUP BY 1),
+ideal AS (SELECT qid, rel,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY rel DESC, docid ASC) AS irank
+          FROM qrels WHERE rel > 0),
+idcg AS (SELECT qid, sum(rel / log2(irank + 1)) AS idcg
+         FROM ideal WHERE irank <= 10 GROUP BY 1),
+p10 AS (SELECT qid, sum(is_rel) / 10.0 AS p_10 FROM ranked
+        WHERE rank <= 10 GROUP BY 1),
+r100 AS (SELECT qid, sum(is_rel) AS rel_ret FROM ranked
+         WHERE rank <= 100 GROUP BY 1)
+SELECT nr.qid,
+       round(coalesce(ap.sum_prec, 0.0) / nr.num_rel, 9) AS map,
+       round(coalesce(dcg.dcg, 0.0) / idcg.idcg, 9) AS ndcg_10,
+       round(coalesce(p10.p_10, 0.0), 9) AS p_10,
+       round(coalesce(r100.rel_ret, 0) / nr.num_rel::DOUBLE, 9) AS recall_100
+FROM nr LEFT JOIN ap USING (qid) LEFT JOIN dcg USING (qid)
+        LEFT JOIN idcg USING (qid) LEFT JOIN p10 USING (qid)
+        LEFT JOIN r100 USING (qid)
+"""
+
+
+def q_trec_format(spark, sf_dir):
+    from .sources.trec_io import format_run
+    r1 = (_runs(spark, sf_dir).filter(F.col("run_id") == "r1")
+          .select("qid", "docid", "score"))
+    return format_run(r1, "engine", max_docs=20).select("qid", "rank", "value")
+
+
+TREC_FORMAT_SQL = """
+WITH run AS (SELECT event_type AS qid, user_id AS docid,
+                    count(*)::DOUBLE AS score FROM events GROUP BY 1, 2),
+r AS (SELECT qid, docid, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, docid ASC)::INT AS rank
+      FROM run)
+SELECT qid, rank,
+       printf('%s Q0 %s %d %.6f %s', qid, docid::VARCHAR, rank, score,
+              'engine') AS value
+FROM r WHERE rank <= 20
+"""
+
+
+def q_simhash_neardup(spark, sf_dir):
+    fps = dedup.simhash(_docs_small(spark, sf_dir))
+    return dedup.simhash_neardup(fps, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERY_FNS = {
+    "bm25_topk": q_bm25_topk,
+    "bm25_conjunctive": q_bm25_and,
+    "term_stats": q_term_stats,
+    "collection_stats": q_collection_stats,
+    "tokenize_tf": q_tokenize_tf,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "simhash_neardup": q_simhash_neardup,      # rows-only (band join in SQL
+                                               # is disproportionate)
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_fingerprint,
+    "agg_maxp": q_agg_maxp,
+    "agg_sump": q_agg_sump,
+    "agg_firstp": q_agg_firstp,
+    "agg_avgp": q_agg_avgp,
+    "agg_top3p": q_agg_top3p,
+    "agg_maxfirst": q_agg_maxfirst,
+    "fusion_rrf": q_fusion_rrf,
+    "fusion_combsum": q_fusion_combsum,
+    "fusion_combmnz": q_fusion_combmnz,
+    "fusion_weighted": q_fusion_weighted,
+    "rank_topk": q_rank_topk,
+    "minmax_norm": q_minmax_norm,
+    "eval_metrics": q_eval_metrics,
+    "trec_format": q_trec_format,
+}
+
+ORACLE_SQL = {
+    "bm25_topk": bm25.bm25_topk_sql(BM25_QUERIES, k=10),
+    "bm25_conjunctive": bm25.bm25_topk_sql(BM25_QUERIES, k=10, mode="and"),
+    "term_stats": TERM_STATS_SQL,
+    "collection_stats": COLLECTION_STATS_SQL,
+    "tokenize_tf": TOKENIZE_TF_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "ann_cosine_topk": ANN_TOPK_SQL,
+    "embedding_neardup": EMB_NEARDUP_SQL,
+    "lang_id": LANG_ID_SQL,
+    "quality_score": QUALITY_SQL,
+    "token_count": TOKEN_COUNT_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+    "agg_maxp": AGG_MAXP_SQL,
+    "agg_sump": AGG_SUMP_SQL,
+    "agg_firstp": AGG_FIRSTP_SQL,
+    "agg_avgp": AGG_AVGP_SQL,
+    "agg_top3p": AGG_TOP3P_SQL,
+    "agg_maxfirst": AGG_MAXFIRST_SQL,
+    "fusion_rrf": FUSION_RRF_SQL,
+    "fusion_combsum": FUSION_COMBSUM_SQL,
+    "fusion_combmnz": FUSION_COMBMNZ_SQL,
+    "fusion_weighted": FUSION_WEIGHTED_SQL,
+    "rank_topk": RANK_TOPK_SQL,
+    "minmax_norm": MINMAX_NORM_SQL,
+    "eval_metrics": EVAL_SQL,
+    "trec_format": TREC_FORMAT_SQL,
+}

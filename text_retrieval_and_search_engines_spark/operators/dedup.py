@@ -1,0 +1,190 @@
+"""Large-scale deduplication operators for training-data pipelines.
+
+Beyond the reference's own operator set (it deduplicates nothing — robust04 is
+pre-cleaned), a 100 TB web-corpus engine needs dedup as a first-class stage.
+All hot paths are JVM-side column expressions (whole-stage codegen; no Python
+per row). The hash family is md5-based so every operator has an exact ANSI-SQL
+twin for the DuckDB oracle gate:
+
+    h_seed(x) = int64(first 15 hex digits of md5(seed || x))   # 60 bits
+
+Operators:
+* exact_dedup          — hash-groupBy on normalized text
+* char_shingles        — distinct char k-shingles per doc (explode, JVM-side)
+* minhash_signatures   — k minhashes per doc (k min-aggregates over shingles)
+* minhash_lsh_pairs    — banded LSH candidate pairs + exact Jaccard verify
+* ngram_jaccard_pairs  — exact shingle-Jaccard for candidate pairs
+* simhash              — 32-bit simhash fingerprint (tf-weighted bit votes)
+* simhash_neardup      — pairs within a Hamming radius (bucketed by bands)
+
+Scale notes: shingle explode is map-side; the only shuffles are the per-doc
+min-aggregate (combines map-side) and the band-bucket self-join (bounded by
+bucket size; salted by band_id). Jaccard verify joins only candidate pairs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_K = 5
+MINHASH_N = 8
+LSH_BANDS = 4  # rows per band = MINHASH_N / LSH_BANDS
+
+
+def h64(col, seed: str):
+    """Deterministic 60-bit hash as bigint — md5-based, SQL-twinnable."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 15),
+                  16, 10).cast("long")
+
+
+def h64_sql(expr: str, seed: str) -> str:
+    """DuckDB twin of h64 (same value, same type)."""
+    return (f"(('0x' || substring(md5('{seed}' || {expr}), 1, 15))::UBIGINT)"
+            f"::BIGINT")
+
+
+def normalize_text(col):
+    """Pinned normalization for dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (text_hash, group_size, keep_id=min id).
+    One hash-aggregate; partial+final combine, no skew risk (hash keys)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("group_size"),
+             F.min("doc_id").alias("keep_id"))
+    )
+
+
+def char_shingles(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """Distinct char k-shingles per doc, JVM-side: sequence+explode+substring.
+    Short docs (< k chars) contribute their whole text as one shingle."""
+    norm = normalize_text(F.col(text_col))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), norm.alias("t"))
+        .select("doc_id",
+                F.explode(F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("t") - F.lit(k - 1), F.lit(1))))
+                .alias("i"),
+                "t")
+        .select("doc_id", F.expr(f"substr(t, i, {k})").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = MINHASH_N
+                       ) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}): min over shingles of h_seed(shingle).
+    One shuffle (groupBy doc_id) with full map-side combine."""
+    aggs = [F.min(h64(F.col("shingle"), f"mh{j}:")).alias(f"mh_{j}")
+            for j in range(n_hashes)]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
+                      bands: int = LSH_BANDS) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket -> candidate pairs (a < b)."""
+    rows_per_band = n_hashes // bands
+    per_band = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws("|", *cols)).alias("band_key")
+        per_band.append(signatures.select(
+            "doc_id", F.lit(b).alias("band_id"), key))
+    buckets = reduce(lambda a, c: a.unionByName(c), per_band)
+    left = buckets.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    right = buckets.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+
+
+def ngram_jaccard_pairs(shingles: DataFrame, pairs: DataFrame,
+                        threshold: float = 0.0) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs:
+    |A n B| / (|A| + |B| - |A n B|). Joins touch candidates only."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("common"))
+    )
+    out = (
+        common
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "nb"}), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("common")
+             / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"))
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """tf-weighted simhash fingerprint: bit i of h64(term) votes +tf/-tf;
+    fingerprint bit i = 1 iff the vote sum is positive. JVM-side only."""
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(normalize_text(F.col(text_col)),
+                                      r"[^a-z0-9]+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .withColumn("h", h64(F.col("term"), "sh:"))
+    )
+    votes = [
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                     F.col("tf")).otherwise(-F.col("tf"))).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    fp = reduce(
+        lambda acc, i: acc + F.when(F.col(f"v_{i}") > 0,
+                                    F.lit(1 << i)).otherwise(0),
+        range(bits), F.lit(0).cast("long"))
+    return voted.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_neardup(fps: DataFrame, max_hamming: int = 3, bits: int = 32,
+                    bands: int = 4) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_hamming, found via
+    band buckets (a pair within radius r < bands shares >= 1 exact band)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    per_band = [
+        fps.select("doc_id",
+                   F.lit(b).alias("band_id"),
+                   F.shiftright("simhash", b * width)
+                   .bitwiseAND(F.lit(mask)).alias("band_val"))
+        for b in range(bands)
+    ]
+    buckets = reduce(lambda a, c: a.unionByName(c), per_band)
+    left = buckets.withColumnsRenamed({"doc_id": "doc_a", "band_val": "val"})
+    right = buckets.withColumnsRenamed({"doc_id": "doc_b", "band_val": "val"})
+    cands = (left.join(right, ["band_id", "val"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    fa = fps.withColumnsRenamed({"doc_id": "doc_a", "simhash": "fp_a"})
+    fb = fps.withColumnsRenamed({"doc_id": "doc_b", "simhash": "fp_b"})
+    return (
+        cands.join(fa, "doc_a").join(fb, "doc_b")
+        .withColumn("hamming",
+                    F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

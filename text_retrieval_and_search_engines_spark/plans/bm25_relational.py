@@ -1,0 +1,154 @@
+"""BM25 as a pure relational DataFrame plan (SQL-twinnable).
+
+The engine's primary path scores compressed postings in Arrow kernels
+(plans/query.py); THIS module expresses the identical Okapi BM25 semantics
+(reference ``final-project/src/bm25_retrieval.py:45-85`` + Lucene >=8 formula,
+SURVEY R5) as joins + aggregations only, so Catalyst owns the whole plan and
+an ANSI-SQL twin (DuckDB oracle) can verify it value-for-value. It uses the
+*simple* tokenizer (lowercase [a-z0-9]+ split, no stemming/stopwords) because
+the twin must be expressible in SQL; the stemmed analyzer path is pytest-
+verified against the Python oracle instead.
+
+Plan shape at scale: tokens explode is map-side; tf and df are hash aggs with
+partial combine; query terms broadcast; one shuffle for the per-(qid, doc)
+sum; top-k via window. Scores are rounded to 6 decimals BEFORE ranking so the
+SQL twin ranks identically despite float summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1_DEFAULT = 0.9
+B_DEFAULT = 0.4
+
+
+def simple_tokens(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, term) one row per token occurrence — JVM split+explode."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda w: w != "")
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(words).alias("term"))
+
+
+def simple_tokens_sql(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """DuckDB twin of simple_tokens (a CTE body)."""
+    return (
+        f"SELECT {id_col} AS doc_id, unnest(list_filter("
+        f"string_split_regex(lower({text_col}), '[^a-z0-9]+'), "
+        f"w -> w != '')) AS term FROM {table}"
+    )
+
+
+def term_frequencies(tokens: DataFrame) -> DataFrame:
+    return tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def doc_lengths(tokens: DataFrame) -> DataFrame:
+    return tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+
+
+def document_frequencies(tf: DataFrame) -> DataFrame:
+    return tf.groupBy("term").agg(F.count("*").alias("df"),
+                                  F.sum("tf").alias("cf"))
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]], k: int = 10,
+              k1: float = K1_DEFAULT, b: float = B_DEFAULT,
+              mode: str = "or") -> DataFrame:
+    """Top-k BM25 -> (qid, doc_id, score, rank); score rounded to 6dp,
+    rank tie-break (score DESC, doc_id ASC)."""
+    spark = docs.sparkSession
+    tokens = simple_tokens(docs)
+    tf = term_frequencies(tokens)
+    dl = doc_lengths(tokens)
+    dfreq = document_frequencies(tf)
+    n_docs = docs.count()
+    total_tokens = tokens.count()
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+
+    qtok = []
+    for qid, text in queries:
+        terms = [w for w in __import__("re").split(r"[^a-z0-9]+", text.lower()) if w]
+        seen: dict[str, int] = {}
+        for t in terms:
+            seen[t] = seen.get(t, 0) + 1
+        for t, w in seen.items():
+            qtok.append((qid, t, float(w)))
+    qterms = spark.createDataFrame(qtok, "qid string, term string, weight double")
+    n_qterms = (qterms.join(dfreq, "term", "left_semi")
+                .groupBy("qid").agg(F.count("*").alias("n_qterms")))
+
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tfnorm = F.col("tf") / (F.col("tf") + F.lit(k1)
+                            * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    contrib = (F.col("weight") * idf * tfnorm).alias("contrib")
+
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq.select("term", "df"), "term")
+        .join(dl, "doc_id")
+        .select("qid", "doc_id", contrib)
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"),
+             F.count("*").alias("n_matched"))
+    )
+    if mode == "and":
+        scored = (scored.join(F.broadcast(n_qterms), "qid")
+                  .filter(F.col("n_matched") == F.col("n_qterms")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.select("qid", "doc_id", "score")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def bm25_topk_sql(queries: list[tuple[str, str]], k: int = 10,
+                  k1: float = K1_DEFAULT, b: float = B_DEFAULT,
+                  mode: str = "or", table: str = "documents") -> str:
+    """DuckDB twin of bm25_topk (same rounding + tie-break)."""
+    import re as _re
+    qrows = []
+    for qid, text in queries:
+        terms = [w for w in _re.split(r"[^a-z0-9]+", text.lower()) if w]
+        seen: dict[str, int] = {}
+        for t in terms:
+            seen[t] = seen.get(t, 0) + 1
+        for t, wgt in seen.items():
+            qrows.append(f"('{qid}', '{t}', {float(wgt)})")
+    values = ", ".join(qrows)
+    and_clause = (
+        "JOIN nq USING (qid) WHERE s.n_matched = nq.n_qterms"
+        if mode == "and" else ""
+    )
+    return f"""
+WITH tokens AS ({simple_tokens_sql(table)}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+consts AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT count(*) FROM tokens)::DOUBLE
+         / (SELECT count(*) FROM {table}) AS avgdl),
+qterms AS (SELECT * FROM (VALUES {values}) AS q(qid, term, weight)),
+nq AS (SELECT qid, count(*) AS n_qterms FROM qterms
+       WHERE term IN (SELECT term FROM dfreq) GROUP BY 1),
+scored AS (
+  SELECT qid, doc_id,
+         round(sum(weight * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)))), 6)
+             AS score,
+         count(*) AS n_matched
+  FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
+          JOIN dl USING (doc_id) CROSS JOIN consts
+  GROUP BY qid, doc_id),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM scored s {and_clause})
+SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= {k}
+"""
