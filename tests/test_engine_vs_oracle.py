@@ -101,3 +101,17 @@ def test_stats_match_oracle(spark, tiny_index):
     for t, (df, cf) in ts.items():
         assert df == oracle.df(t), t
         assert cf == oracle.cf(t), t
+
+
+def test_search_fast_rank_identical(spark, tiny_index):
+    from text_retrieval_and_search_engines_spark.plans.query import search_fast
+    reader, oracle, catalog, en = tiny_index
+    qpdf, qdf = _queries_df(spark, n=6)
+    qlist = [(row.qid, row.text) for row in qpdf.itertuples()]
+    got = _collect_run(search_fast(reader, qlist, SearchParams(k=15)))
+    expected = {row.qid: oracle.search(row.text, k=15)
+                for row in qpdf.itertuples()}
+    _assert_rank_identical(got, expected, 15)
+    # degenerate inputs
+    assert search_fast(reader, [("x", "zzznope")]).count() == 0
+    assert search_fast(reader, []).count() == 0

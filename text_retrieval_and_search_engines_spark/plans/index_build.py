@@ -63,6 +63,10 @@ class IndexConfig:
     langs: tuple[str, ...] = ("en",)   # analyzer is English (robust04)
     recompute_text: bool = True        # html -> text via pinned extractor
     n_partitions: int | None = None    # docid-assignment range partitions
+    materialize_docs: bool = True      # write docs(docid,url,text)? At petabyte
+                                       # scale keep False: it would re-copy the
+                                       # whole corpus; RM3 re-fetches text via
+                                       # docmap joined back to the pages table
 
     def fingerprint(self, input_fp: str) -> str:
         blob = json.dumps([asdict(self), input_fp], sort_keys=True, default=list)
@@ -239,36 +243,49 @@ def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
                 cfg: IndexConfig = IndexConfig(), input_fp: str = "",
                 force: bool = False) -> dict:
     """Run all phases; skip any whose snapshot fingerprint already matches
-    (resumability contract). Returns {'stats': {...}} summary."""
+    (resumability contract). Returns a summary dict.
+
+    Phase layout (one read of the raw corpus total):
+      1. doc_tokens: extract -> docid assignment -> tokenize, fused into a
+         single pass over pages; emits doc_tokens + docmap (+ docs if
+         cfg.materialize_docs — off for petabyte corpora, it re-copies text).
+      2. postings: doc_tokens -> explode -> (term, range) chunk encode.
+      3. meta: doclens/stats from doc_tokens; termstats/lineage from
+         postings (each source read once, cached across its two aggregates).
+    """
     fp = cfg.fingerprint(input_fp)
     t_start = time.perf_counter()
 
-    if force or not catalog.has_table("docs", fp):
-        docs = extract_docs(pages, cfg)
-        catalog.write_table(docs, "docs", fingerprint=fp)
-    docs = catalog.read_table(spark, "docs")
-
     if force or not catalog.has_table("doc_tokens", fp):
+        docs = extract_docs(pages, cfg)   # lineage: re-derivable, not stored
+        if cfg.materialize_docs:
+            catalog.write_table(docs, "docs", fingerprint=fp)
+            docs = catalog.read_table(spark, "docs")
+        else:
+            docs = docs.persist()
+        catalog.write_table(docs.select("docid", "url"), "docmap",
+                            fingerprint=fp)
         catalog.write_table(tokenize_docs(docs), "doc_tokens", fingerprint=fp)
+        docs.unpersist()
     doc_tokens = catalog.read_table(spark, "doc_tokens")
 
     if force or not catalog.has_table("postings", fp):
-        catalog.write_table(doc_tokens.select("docid", "dl"), "doclens", fingerprint=fp)
         tokens = explode_tokens(doc_tokens)
-        postings = build_postings(tokens, cfg)
-        catalog.write_table(postings, "postings", fingerprint=fp)
-        catalog.write_table(lineage_from_postings(
-            catalog.read_table(spark, "postings")), "lineage", fingerprint=fp)
-    postings = catalog.read_table(spark, "postings")
+        catalog.write_table(build_postings(tokens, cfg), "postings",
+                            fingerprint=fp)
 
-    if force or not catalog.has_table("termstats", fp):
-        termstats = postings.groupBy("term").agg(
-            F.sum("df_chunk").alias("df"), F.sum("cf_chunk").alias("cf"))
-        catalog.write_table(termstats, "termstats", fingerprint=fp)
-        docmap = docs.select("docid", "url")
-        catalog.write_table(docmap, "docmap", fingerprint=fp)
-        doclens = catalog.read_table(spark, "doclens")
-        agg = doclens.agg(
+    if force or not catalog.has_table("stats", fp):
+        catalog.write_table(doc_tokens.select("docid", "dl"), "doclens",
+                            fingerprint=fp)
+        postings = catalog.read_table(spark, "postings").persist()
+        catalog.write_table(
+            postings.groupBy("term").agg(F.sum("df_chunk").alias("df"),
+                                         F.sum("cf_chunk").alias("cf")),
+            "termstats", fingerprint=fp)
+        catalog.write_table(lineage_from_postings(postings), "lineage",
+                            fingerprint=fp)
+        postings.unpersist()
+        agg = doc_tokens.agg(
             F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).collect()[0]
         stats = spark.createDataFrame(
             [(int(agg["n_docs"]), float(agg["avgdl"] or 0.0),

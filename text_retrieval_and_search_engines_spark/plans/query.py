@@ -63,6 +63,16 @@ class IndexReader:
         self.avgdl = float(row["avgdl"])
         self.range_size = int(row["range_size"])
 
+    def cache(self) -> "IndexReader":
+        """Pin postings + termstats in executor memory for repeated-query
+        workloads (an interactive search service shape). At 10^12-doc scale
+        use Spark's storage-level spill; here it's a plain persist."""
+        self.postings = self.postings.persist()
+        self.termstats = self.termstats.persist()
+        self.postings.count()
+        self.termstats.count()
+        return self
+
 
 def tokenize_queries(queries: DataFrame) -> DataFrame:
     """(qid, text) -> (qid, term, weight=query tf). Same pinned analyzer as
@@ -82,23 +92,15 @@ def tokenize_queries(queries: DataFrame) -> DataFrame:
     return queries.mapInPandas(kernel, schema="qid string, term string, weight double")
 
 
-def search_terms(reader: IndexReader, qterms: DataFrame,
-                 params: SearchParams = SearchParams()) -> DataFrame:
-    """Weighted-term search: qterms(qid, term, weight) -> (qid, docid, score,
-    rank). This is both the BM25 core and the RM3 second pass (weights
-    multiply per-term BM25 contributions, SURVEY R8)."""
+def _score_and_merge(reader: IndexReader, qt: DataFrame,
+                     params: SearchParams) -> DataFrame:
+    """Shared tail of every search plan: postings x query-terms broadcast
+    join -> per-(qid, range) Arrow scoring kernel -> global top-k window.
+    `qt` columns: qid, term, weight, df, n_qterms."""
     n_docs, avgdl = reader.n_docs, reader.avgdl
     range_size = reader.range_size
     k1, b, k, mode = params.k1, params.b, params.k, params.mode
 
-    # df per query term: broadcast the tiny query side; termstats streams.
-    qt = reader.termstats.join(F.broadcast(qterms), "term", "inner")
-    # per-qid count of index-matched terms (conjunctive mode needs the GLOBAL
-    # count — a term absent from one docid range still vetoes its docs).
-    qt_counts = qt.groupBy("qid").agg(
-        F.countDistinct("term").alias("n_qterms"))
-    qt = qt.join(qt_counts, "qid")
-    # matched postings chunks: broadcast the (still tiny) query-term dim.
     matched = reader.postings.join(
         F.broadcast(qt.select("qid", "term", "weight", "df", "n_qterms")),
         "term", "inner",
@@ -149,10 +151,61 @@ def search_terms(reader: IndexReader, qterms: DataFrame,
     )
 
 
+def search_terms(reader: IndexReader, qterms: DataFrame,
+                 params: SearchParams = SearchParams()) -> DataFrame:
+    """Weighted-term search: qterms(qid, term, weight) -> (qid, docid, score,
+    rank). This is both the BM25 core and the RM3 second pass (weights
+    multiply per-term BM25 contributions, SURVEY R8)."""
+    # df per query term: broadcast the tiny query side; termstats streams.
+    qt = reader.termstats.join(F.broadcast(qterms), "term", "inner")
+    # per-qid count of index-matched terms (conjunctive mode needs the GLOBAL
+    # count — a term absent from one docid range still vetoes its docs).
+    qt_counts = qt.groupBy("qid").agg(
+        F.countDistinct("term").alias("n_qterms"))
+    qt = qt.join(qt_counts, "qid")
+    return _score_and_merge(reader, qt, params)
+
+
 def search(reader: IndexReader, queries: DataFrame,
            params: SearchParams = SearchParams()) -> DataFrame:
     """BM25 top-k over (qid, text) queries — reference R1/R3 batch search."""
     return search_terms(reader, tokenize_queries(queries), params)
+
+
+def search_fast(reader: IndexReader, queries: list[tuple[str, str]],
+                params: SearchParams = SearchParams()) -> DataFrame:
+    """Low-latency path for small query batches: analyze queries DRIVER-side
+    with the same pinned tokenizer, look up term stats with one job, and go
+    straight to the scoring stage (2 jobs total instead of ~4 — the shape of
+    an interactive front-end; the reference's per-call ``searcher.search``
+    is the analogous single-query path, src/bm25_retrieval.py:45-85)."""
+    from ..functions.text import tokenize
+
+    rows = []
+    for qid, text in queries:
+        for t, wgt in term_freqs(tokenize(text)).items():
+            rows.append((qid, t, float(wgt)))
+    if not rows:
+        return _empty_results(reader.spark)
+    terms = sorted({t for _, t, _ in rows})
+    stats = reader.termstats.filter(F.col("term").isin(terms)).collect()
+    df_map = {r["term"]: int(r["df"]) for r in stats}
+    n_q = {}
+    for qid, t, _ in rows:
+        if t in df_map:
+            n_q[qid] = n_q.get(qid, 0) + 1
+    qt_rows = [(qid, t, wgt, df_map[t], n_q[qid])
+               for qid, t, wgt in rows if t in df_map]
+    if not qt_rows:
+        return _empty_results(reader.spark)
+    qt = reader.spark.createDataFrame(
+        qt_rows, "qid string, term string, weight double, df long, n_qterms int")
+    return _score_and_merge(reader, qt, params)
+
+
+def _empty_results(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "qid string, docid long, score double, rank int")
 
 
 def attach_urls(reader: IndexReader, results: DataFrame) -> DataFrame:
