@@ -128,3 +128,58 @@ def bm25_tf_norm(tf, dl, k1: float, b: float, avgdl: float):
     tf = np.asarray(tf, dtype=np.float64)
     dl = np.asarray(dl, dtype=np.float64)
     return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def vb_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nb = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nb
+
+
+def block_offsets(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                  range_start: int = 0, block: int = BLOCK
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-block byte offsets (n_blocks+1 entries) into the gaps/tfs/dls
+    streams of an `encode_postings` payload — the skip data that makes
+    block-max WAND able to decode only surviving blocks."""
+    n = np.asarray(docids).size
+    if n == 0:
+        z = np.zeros(1, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = docids[0] - range_start
+    gaps[1:] = np.diff(docids).astype(np.uint64)
+    marks = np.arange(0, n + block, block, dtype=np.int64)
+    marks[-1] = min(int(marks[-1]), n)
+    marks = np.unique(marks)
+
+    def offs(vals):
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vb_lengths(vals), out=cum[1:])
+        return cum[marks]
+
+    return offs(gaps), offs(np.asarray(tfs, dtype=np.uint64)), \
+        offs(np.asarray(dls, dtype=np.uint64))
+
+
+def decode_block(payload: bytes, b: int, goff, toff, doff,
+                 prev_last_docid: int
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode exactly one block of an `encode_postings` payload.
+
+    ``prev_last_docid`` is block b-1's last docid (or the chunk's
+    range_start for b=0) — gap deltas chain across block boundaries.
+    """
+    hdr = np.frombuffer(payload, dtype=_HDR, count=4)
+    _, lg, lt, _ = (int(x) for x in hdr)
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    g0, t0, d0 = 16, 16 + lg, 16 + lg + lt
+    gaps = vb_decode(raw[g0 + int(goff[b]):g0 + int(goff[b + 1])])
+    tfs = vb_decode(raw[t0 + int(toff[b]):t0 + int(toff[b + 1])])
+    dls = vb_decode(raw[d0 + int(doff[b]):d0 + int(doff[b + 1])])
+    docids = np.cumsum(gaps.astype(np.int64)) + prev_last_docid
+    return docids, tfs.astype(np.int64), dls.astype(np.int64)

@@ -49,7 +49,8 @@ TOKENS_SCHEMA = "docid long, dl long, terms array<string>, tfs array<int>"
 POSTINGS_SCHEMA = (
     "term string, range_id long, df_chunk long, cf_chunk long, "
     "payload binary, block_last array<long>, block_max_tf array<int>, "
-    "block_min_dl array<int>, build_partition int, build_ms double"
+    "block_min_dl array<int>, goff array<int>, toff array<int>, "
+    "doff array<int>, build_partition int, build_ms double"
 )
 
 
@@ -193,9 +194,11 @@ def build_postings(tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
         docids = pdf["docid"].to_numpy()[order].astype(np.int64)
         tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
         dls = pdf["dl"].to_numpy()[order].astype(np.int64)
-        payload = codec.encode_postings(docids, tfs, dls,
-                                        range_start=int(range_id) * range_size)
+        rs = int(range_id) * range_size
+        payload = codec.encode_postings(docids, tfs, dls, range_start=rs)
         bl, btf, bdl = codec.block_max_meta(docids, tfs, dls, block=block)
+        go, to, do = codec.block_offsets(docids, tfs, dls, range_start=rs,
+                                         block=block)
         ctx = TaskContext.get()
         return pd.DataFrame({
             "term": [term],
@@ -206,6 +209,9 @@ def build_postings(tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
             "block_last": [bl.tolist()],
             "block_max_tf": [btf.astype(np.int32).tolist()],
             "block_min_dl": [bdl.astype(np.int32).tolist()],
+            "goff": [go.astype(np.int32).tolist()],
+            "toff": [to.astype(np.int32).tolist()],
+            "doff": [do.astype(np.int32).tolist()],
             "build_partition": [ctx.partitionId() if ctx else -1],
             "build_ms": [(time.perf_counter() - t0) * 1e3],
         })

@@ -47,6 +47,9 @@ class SearchParams:
     b: float = B_DEFAULT
     k: int = 1000                 # retrieval depth (reference default)
     mode: str = "or"              # "or" = disjunctive | "and" = intersection
+    algo: str = "exact"           # "exact" = exhaustive vectorized scoring |
+                                  # "bmw" = block-max WAND pruning (identical
+                                  # results, proven by property test)
 
 
 class IndexReader:
@@ -101,10 +104,29 @@ def _score_and_merge(reader: IndexReader, qt: DataFrame,
     range_size = reader.range_size
     k1, b, k, mode = params.k1, params.b, params.k, params.mode
 
+    extra = (["block_last", "block_max_tf", "block_min_dl",
+              "goff", "toff", "doff"] if params.algo == "bmw" else [])
     matched = reader.postings.join(
         F.broadcast(qt.select("qid", "term", "weight", "df", "n_qterms")),
         "term", "inner",
-    ).select("qid", "term", "weight", "df", "n_qterms", "range_id", "payload")
+    ).select("qid", "term", "weight", "df", "n_qterms", "range_id",
+             "payload", *extra)
+
+    if params.algo == "bmw":
+        from .bmw import bmw_topk
+
+        def bmw_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            qid, range_id = key
+            d, s = bmw_topk(pdf, int(range_id) * range_size, range_size,
+                            n_docs, avgdl, k1, b, k, mode)
+            return pd.DataFrame({"qid": np.repeat(qid, d.size),
+                                 "docid": d, "score": s})
+
+        scored = matched.groupBy("qid", "range_id").applyInPandas(
+            bmw_kernel, schema=SCORED_SCHEMA)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
 
     def score_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         qid, range_id = key
