@@ -1,0 +1,152 @@
+"""spark-submit CLI (SURVEY §7 M7; reference CLI ``src/main.py:321-344``).
+
+Usage (zip the package first for --py-files):
+    zip -r engine.zip text_retrieval_and_search_engines_spark
+    spark-submit --py-files engine.zip -m text_retrieval_and_search_engines_spark ...
+
+Commands:
+    index   --pages PATH --catalog DIR [--langs en,de] [--range-size N]
+    search  --catalog DIR --queries TSV [--k 1000] [--rm3] [--out run.res]
+    tune    --catalog DIR --queries TSV --qrels PATH --out tuned.json [--cv]
+    pipeline --catalog DIR --queries TSV --expanded CSV [--qrels PATH]
+             --out-dir DIR     (the reference's 3-run train/test flow)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from .plans.index_build import IndexConfig, build_index
+from .plans.query import IndexReader, SearchParams, search, search_rm3
+from .session import get_spark
+from .sources.loaders import load_expanded_csv, load_qrels, load_queries_tsv
+from .sources.tables import Catalog
+from .sources.trec_io import write_run
+
+
+def _add_common(p):
+    p.add_argument("--catalog", required=True)
+    p.add_argument("--master", default=None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="text_retrieval_and_search_engines_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_ix = sub.add_parser("index")
+    _add_common(p_ix)
+    p_ix.add_argument("--pages", required=True,
+                      help="parquet/iceberg path with (url, warc_ts, html, text, lang)")
+    p_ix.add_argument("--langs", default="en")
+    p_ix.add_argument("--range-size", type=int, default=1 << 17)
+    p_ix.add_argument("--no-extract", action="store_true",
+                      help="trust the text column instead of re-extracting html")
+    p_ix.add_argument("--force", action="store_true")
+
+    p_s = sub.add_parser("search")
+    _add_common(p_s)
+    p_s.add_argument("--queries", required=True, help="TSV qid\\ttext")
+    p_s.add_argument("--k", type=int, default=1000)
+    p_s.add_argument("--k1", type=float, default=0.9)
+    p_s.add_argument("--b", type=float, default=0.4)
+    p_s.add_argument("--rm3", action="store_true")
+    p_s.add_argument("--algo", default="exact", choices=["exact", "bmw"])
+    p_s.add_argument("--out", default=None, help="TREC run file")
+    p_s.add_argument("--run-name", default="engine")
+
+    p_t = sub.add_parser("tune")
+    _add_common(p_t)
+    p_t.add_argument("--queries", required=True)
+    p_t.add_argument("--qrels", required=True)
+    p_t.add_argument("--out", required=True)
+    p_t.add_argument("--cv", action="store_true")
+    p_t.add_argument("--rm3", action="store_true")
+
+    p_p = sub.add_parser("pipeline")
+    _add_common(p_p)
+    p_p.add_argument("--queries", required=True)
+    p_p.add_argument("--expanded", required=True)
+    p_p.add_argument("--qrels", default=None)
+    p_p.add_argument("--out-dir", required=True)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(f"engine-{args.cmd}", master=args.master)
+    catalog = Catalog(args.catalog)
+
+    if args.cmd == "index":
+        pages = spark.read.parquet(args.pages)
+        cfg = IndexConfig(
+            range_size=args.range_size,
+            langs=tuple(x for x in args.langs.split(",") if x),
+            recompute_text=not args.no_extract)
+        info = build_index(spark, pages, catalog, cfg,
+                           input_fp=args.pages, force=args.force)
+        print(json.dumps(info))
+        return 0
+
+    reader = IndexReader(spark, catalog)
+    if args.cmd == "search":
+        queries = load_queries_tsv(spark, args.queries)
+        params = SearchParams(k1=args.k1, b=args.b, k=args.k, algo=args.algo)
+        if args.rm3:
+            docs = catalog.read_table(spark, "docs")
+            run = search_rm3(reader, queries, docs, params=params)
+        else:
+            run = search(reader, queries, params)
+        from .plans.query import attach_urls
+        out = attach_urls(reader, run).select(
+            "qid", F.col("url").alias("docid"), "score")
+        if args.out:
+            write_run(out, args.out, args.run_name, max_docs=args.k)
+            print(f"wrote {args.out}")
+        else:
+            out.orderBy("qid", F.desc("score")).show(50, truncate=False)
+        return 0
+
+    if args.cmd == "tune":
+        from .plans.tuning import (cv_tune_bm25, grid_search_bm25,
+                                   grid_search_rm3, save_tuned)
+        queries = load_queries_tsv(spark, args.queries)
+        qrels = load_qrels(spark, args.qrels)
+        if args.cv:
+            best = cv_tune_bm25(reader, queries, qrels)
+        else:
+            best = grid_search_bm25(reader, queries, qrels)
+        rm3 = None
+        if args.rm3:
+            docs = catalog.read_table(spark, "docs")
+            rm3 = grid_search_rm3(reader, queries, docs, qrels,
+                                  k1=best["k1"], b=best["b"])
+        save_tuned(args.out, best, rm3)
+        print(json.dumps({"bm25": {k: best[k] for k in ("k1", "b")},
+                          "rm3": rm3}))
+        return 0
+
+    if args.cmd == "pipeline":
+        from .plans.pipeline import run_pipeline
+        from .sources.loaders import queries_with_fallback
+        queries = load_queries_tsv(spark, args.queries)
+        expanded = queries_with_fallback(
+            queries, load_expanded_csv(spark, args.expanded))
+        qrels = load_qrels(spark, args.qrels) if args.qrels else None
+        docs = catalog.read_table(spark, "docs")
+        # qrels docids are external urls -> map to dense ids
+        if qrels is not None:
+            dm = reader.docmap.select(F.col("docid").alias("docid_int"), "url")
+            qrels = (qrels.join(dm, qrels.docid == dm.url, "inner")
+                     .select("qid", F.col("docid_int").alias("docid"), "rel"))
+        out = run_pipeline(reader, queries, expanded, docs, qrels,
+                           out_dir=args.out_dir)
+        if out["metrics"] is not None:
+            out["metrics"].show(truncate=False)
+        print(f"wrote run_1.res run_2.res run_3.res to {args.out_dir}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass
 
 import numpy as np
@@ -47,11 +48,20 @@ from ..sources.tables import Catalog
 
 TOKENS_SCHEMA = "docid long, dl long, terms array<string>, tfs array<int>"
 POSTINGS_SCHEMA = (
-    "term string, range_id long, df_chunk long, cf_chunk long, "
-    "payload binary, block_last array<long>, block_max_tf array<int>, "
-    "block_min_dl array<int>, goff array<int>, toff array<int>, "
-    "doff array<int>, build_partition int, build_ms double"
+    "term string, term_bucket int, range_id long, df_chunk long, "
+    "cf_chunk long, payload binary, block_last array<long>, "
+    "block_max_tf array<int>, block_min_dl array<int>, goff array<int>, "
+    "toff array<int>, doff array<int>, build_partition int, build_ms double"
 )
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Pinned term->bucket hash (md5-based, same family as operators/dedup).
+    The postings table is PARTITIONED by this column, so a query's scan
+    prunes to the buckets of its own terms — the Parquet-native analogue of
+    Lucene's term dictionary lookup."""
+    import hashlib
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
 
 
 @dataclass(frozen=True)
@@ -61,6 +71,7 @@ class IndexConfig:
 
     range_size: int = 1 << 17          # docids per postings chunk (skew cap)
     block: int = 128                   # postings per block-max block
+    n_term_buckets: int = 32           # postings partition-pruning buckets
     langs: tuple[str, ...] = ("en",)   # analyzer is English (robust04)
     recompute_text: bool = True        # html -> text via pinned extractor
     n_partitions: int | None = None    # docid-assignment range partitions
@@ -141,21 +152,33 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
     """One Arrow pass per doc -> (docid, dl, terms[], tfs[]). Zero-token docs
     keep a row (dl=0, empty arrays) so N/avgdl count them (oracle parity)."""
 
+    from ..functions.text import STOPWORDS, _stem_cached, _TOKEN_RE
+
     def kernel(iterator):
+        findall = _TOKEN_RE.findall
+        stem = _stem_cached
+        stop = STOPWORDS
         for pdf in iterator:
-            tok_lists = tokenize_series(pdf["text"])
-            dls = tok_lists.map(len).astype("int64")
-            terms, tfs = [], []
-            for toks in tok_lists:
+            terms, tfs, dls = [], [], []
+            for text in pdf["text"]:
+                # single fused pass: tokenize -> stop -> stem -> tf counts
+                # (minimal allocation; the pandas .str chain costs ~3 extra
+                # object-array passes per batch)
                 tf: dict[str, int] = {}
-                for t in toks:
-                    tf[t] = tf.get(t, 0) + 1
+                dl = 0
+                for tok in findall(("" if text is None else text).lower()):
+                    if tok in stop:
+                        continue
+                    dl += 1
+                    st = stem(tok)
+                    tf[st] = tf.get(st, 0) + 1
                 ks = list(tf.keys())
                 terms.append(ks)
                 tfs.append([tf[k] for k in ks])
+                dls.append(dl)
             yield pd.DataFrame({
                 "docid": pdf["docid"].astype("int64"),
-                "dl": dls,
+                "dl": pd.Series(dls, dtype="int64"),
                 "terms": terms,
                 "tfs": tfs,
             })
@@ -182,46 +205,84 @@ def explode_tokens(doc_tokens: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def build_postings(tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """groupBy(term, range_id) -> Arrow kernel: sort by docid, delta+varbyte
-    encode, block-max metadata. Max group size = range_size (skew cap)."""
+    """(term, range_id)-partitioned chunk encode: delta+varbyte payload +
+    block-max metadata + per-block skip offsets. Max group size = range_size
+    (the deterministic skew cap).
+
+    Physical shape: ONE shuffle (repartition by (term, range_id)) + in-task
+    sort, then a mapInPandas kernel that walks group boundaries in numpy —
+    NOT applyInPandas, whose per-group pandas materialization costs ~10ms x
+    millions of (term, range) groups. Groups can span Arrow batches, so the
+    kernel carries the open tail group between batches.
+    """
     range_size = cfg.range_size
     block = cfg.block
+    n_buckets = cfg.n_term_buckets
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.perf_counter()
-        term, range_id = key
-        order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
-        docids = pdf["docid"].to_numpy()[order].astype(np.int64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        dls = pdf["dl"].to_numpy()[order].astype(np.int64)
+    def encode_run(term: str, range_id: int, docids, tfs, dls, out, t0):
         rs = int(range_id) * range_size
         payload = codec.encode_postings(docids, tfs, dls, range_start=rs)
         bl, btf, bdl = codec.block_max_meta(docids, tfs, dls, block=block)
         go, to, do = codec.block_offsets(docids, tfs, dls, range_start=rs,
                                          block=block)
         ctx = TaskContext.get()
-        return pd.DataFrame({
-            "term": [term],
-            "range_id": [int(range_id)],
-            "df_chunk": [len(docids)],
-            "cf_chunk": [int(tfs.sum()) if len(tfs) else 0],
-            "payload": [payload],
-            "block_last": [bl.tolist()],
-            "block_max_tf": [btf.astype(np.int32).tolist()],
-            "block_min_dl": [bdl.astype(np.int32).tolist()],
-            "goff": [go.astype(np.int32).tolist()],
-            "toff": [to.astype(np.int32).tolist()],
-            "doff": [do.astype(np.int32).tolist()],
-            "build_partition": [ctx.partitionId() if ctx else -1],
-            "build_ms": [(time.perf_counter() - t0) * 1e3],
-        })
+        out.append((
+            term, term_bucket(term, n_buckets), int(range_id),
+            int(docids.size), int(tfs.sum()) if tfs.size else 0, payload,
+            bl.tolist(), btf.astype(np.int32).tolist(),
+            bdl.astype(np.int32).tolist(), go.astype(np.int32).tolist(),
+            to.astype(np.int32).tolist(), do.astype(np.int32).tolist(),
+            ctx.partitionId() if ctx else -1,
+            (time.perf_counter() - t0) * 1e3,
+        ))
+
+    cols = [c.strip().split(" ")[0] for c in POSTINGS_SCHEMA.split(",")]
+
+    def kernel(iterator):
+        held: pd.DataFrame | None = None
+        for pdf in iterator:
+            if held is not None:
+                pdf = pd.concat([held, pdf], ignore_index=True)
+            terms = pdf["term"].to_numpy()
+            ranges = pdf["range_id"].to_numpy()
+            # group change points (input sorted by term, range_id, docid)
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (ranges[1:] != ranges[:-1])) + 1
+            bounds = np.concatenate(([0], change, [len(pdf)]))
+            if len(bounds) >= 2:
+                # last group may continue in the next batch — hold it back
+                held = pdf.iloc[bounds[-2]:].reset_index(drop=True)
+                bounds = bounds[:-1]
+            docid_a = pdf["docid"].to_numpy().astype(np.int64)
+            tf_a = pdf["tf"].to_numpy().astype(np.int64)
+            dl_a = pdf["dl"].to_numpy().astype(np.int64)
+            out: list = []
+            t0 = time.perf_counter()
+            for gi in range(len(bounds) - 1):
+                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+                encode_run(terms[lo], int(ranges[lo]), docid_a[lo:hi],
+                           tf_a[lo:hi], dl_a[lo:hi], out, t0)
+                t0 = time.perf_counter()
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+        if held is not None and len(held):
+            terms = held["term"].to_numpy()
+            ranges = held["range_id"].to_numpy()
+            out = []
+            encode_run(terms[0], int(ranges[0]),
+                       held["docid"].to_numpy().astype(np.int64),
+                       held["tf"].to_numpy().astype(np.int64),
+                       held["dl"].to_numpy().astype(np.int64),
+                       out, time.perf_counter())
+            yield pd.DataFrame(out, columns=cols)
 
     with_range = tokens.withColumn(
-        "range_id", (F.col("docid") / F.lit(cfg.range_size)).cast("long")
-    )
-    return with_range.groupBy("term", "range_id").applyInPandas(
-        encode, schema=POSTINGS_SCHEMA
-    )
+        "range_id", (F.col("docid") / F.lit(cfg.range_size)).cast("long"))
+    spark = tokens.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = (with_range.repartition(n_shuffle, "term", "range_id")
+              .sortWithinPartitions("term", "range_id", "docid"))
+    return parted.mapInPandas(kernel, schema=POSTINGS_SCHEMA)
 
 
 def lineage_from_postings(postings: DataFrame) -> DataFrame:
@@ -269,34 +330,45 @@ def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
             docs = catalog.read_table(spark, "docs")
         else:
             docs = docs.persist()
-        catalog.write_table(docs.select("docid", "url"), "docmap",
-                            fingerprint=fp)
-        catalog.write_table(tokenize_docs(docs), "doc_tokens", fingerprint=fp)
+            docs.count()  # materialize once; concurrent writers read cache
+        # independent writes run as concurrent Spark jobs (driver threads)
+        with ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(catalog.write_table, docs.select("docid", "url"),
+                           "docmap", fp)
+            f2 = ex.submit(catalog.write_table, tokenize_docs(docs),
+                           "doc_tokens", fp)
+            f1.result(), f2.result()
         docs.unpersist()
     doc_tokens = catalog.read_table(spark, "doc_tokens")
 
     if force or not catalog.has_table("postings", fp):
         tokens = explode_tokens(doc_tokens)
-        catalog.write_table(build_postings(tokens, cfg), "postings",
-                            fingerprint=fp)
+        catalog.write_table(
+            build_postings(tokens, cfg).repartition("term_bucket"),
+            "postings", fingerprint=fp, partition_by=["term_bucket"])
 
     if force or not catalog.has_table("stats", fp):
-        catalog.write_table(doc_tokens.select("docid", "dl"), "doclens",
-                            fingerprint=fp)
         postings = catalog.read_table(spark, "postings").persist()
-        catalog.write_table(
-            postings.groupBy("term").agg(F.sum("df_chunk").alias("df"),
-                                         F.sum("cf_chunk").alias("cf")),
-            "termstats", fingerprint=fp)
-        catalog.write_table(lineage_from_postings(postings), "lineage",
-                            fingerprint=fp)
+        postings.count()
+        termstats = postings.groupBy("term").agg(
+            F.sum("df_chunk").alias("df"), F.sum("cf_chunk").alias("cf"))
+        with ThreadPoolExecutor(4) as ex:
+            f1 = ex.submit(catalog.write_table,
+                           doc_tokens.select("docid", "dl"), "doclens", fp)
+            f2 = ex.submit(catalog.write_table, termstats, "termstats", fp)
+            f3 = ex.submit(catalog.write_table,
+                           lineage_from_postings(postings), "lineage", fp)
+            f4 = ex.submit(lambda: doc_tokens.agg(
+                F.count("*").alias("n_docs"),
+                F.avg("dl").alias("avgdl")).collect()[0])
+            f1.result(), f2.result(), f3.result()
+            agg = f4.result()
         postings.unpersist()
-        agg = doc_tokens.agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).collect()[0]
         stats = spark.createDataFrame(
             [(int(agg["n_docs"]), float(agg["avgdl"] or 0.0),
-              cfg.range_size, cfg.block)],
-            "n_docs long, avgdl double, range_size long, block int")
+              cfg.range_size, cfg.block, cfg.n_term_buckets)],
+            "n_docs long, avgdl double, range_size long, block int, "
+            "n_term_buckets int")
         catalog.write_table(stats, "stats", fingerprint=fp)
 
     srow = catalog.read_table(spark, "stats").collect()[0]

@@ -65,6 +65,8 @@ class IndexReader:
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
         self.range_size = int(row["range_size"])
+        self.n_term_buckets = int(row["n_term_buckets"]) \
+            if "n_term_buckets" in row.__fields__ else 0
 
     def cache(self) -> "IndexReader":
         """Pin postings + termstats in executor memory for repeated-query
@@ -96,7 +98,8 @@ def tokenize_queries(queries: DataFrame) -> DataFrame:
 
 
 def _score_and_merge(reader: IndexReader, qt: DataFrame,
-                     params: SearchParams) -> DataFrame:
+                     params: SearchParams,
+                     buckets: list[int] | None = None) -> DataFrame:
     """Shared tail of every search plan: postings x query-terms broadcast
     join -> per-(qid, range) Arrow scoring kernel -> global top-k window.
     `qt` columns: qid, term, weight, df, n_qterms."""
@@ -106,7 +109,11 @@ def _score_and_merge(reader: IndexReader, qt: DataFrame,
 
     extra = (["block_last", "block_max_tf", "block_min_dl",
               "goff", "toff", "doff"] if params.algo == "bmw" else [])
-    matched = reader.postings.join(
+    postings = reader.postings
+    if buckets is not None:
+        # partition pruning: only the buckets holding this query's terms
+        postings = postings.filter(F.col("term_bucket").isin(buckets))
+    matched = postings.join(
         F.broadcast(qt.select("qid", "term", "weight", "df", "n_qterms")),
         "term", "inner",
     ).select("qid", "term", "weight", "df", "n_qterms", "range_id",
@@ -222,7 +229,12 @@ def search_fast(reader: IndexReader, queries: list[tuple[str, str]],
         return _empty_results(reader.spark)
     qt = reader.spark.createDataFrame(
         qt_rows, "qid string, term string, weight double, df long, n_qterms int")
-    return _score_and_merge(reader, qt, params)
+    buckets = None
+    if reader.n_term_buckets:
+        from .index_build import term_bucket
+        buckets = sorted({term_bucket(t, reader.n_term_buckets)
+                          for _, t, _, _, _ in qt_rows})
+    return _score_and_merge(reader, qt, params, buckets=buckets)
 
 
 def _empty_results(spark: SparkSession) -> DataFrame:

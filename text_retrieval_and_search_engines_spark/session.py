@@ -6,6 +6,12 @@ import os
 
 from pyspark.sql import SparkSession
 
+# glibc malloc arena contention in forked pyspark workers inflates CPU time
+# ~16x at 32 workers (measured: tokenize 44 -> 700 CPU-s for identical work).
+# Python workers are single-threaded, so one arena is strictly better. Must be
+# set before the JVM (and thus the pyspark daemon) starts.
+os.environ.setdefault("MALLOC_ARENA_MAX", "1")
+
 
 def get_spark(app_name: str = "text-retrieval-spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -29,6 +30,7 @@ class Catalog:
     def __post_init__(self) -> None:
         os.makedirs(self.root, exist_ok=True)
         self._manifest_path = os.path.join(self.root, "_snapshots.json")
+        self._lock = threading.Lock()
 
     # -- snapshot manifest (emulated Iceberg commit log) ---------------------
     def _load_manifest(self) -> dict:
@@ -38,13 +40,14 @@ class Catalog:
         return {"snapshots": []}
 
     def _append_snapshot(self, entry: dict) -> None:
-        m = self._load_manifest()
-        entry["snapshot_id"] = len(m["snapshots"]) + 1
-        m["snapshots"].append(entry)
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self._manifest_path)
+        with self._lock:  # phase writes may commit from concurrent threads
+            m = self._load_manifest()
+            entry["snapshot_id"] = len(m["snapshots"]) + 1
+            m["snapshots"].append(entry)
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, self._manifest_path)
 
     def snapshot_for(self, table: str, fingerprint: str | None = None) -> dict | None:
         """Latest committed snapshot for `table` (matching fingerprint if given)."""
