@@ -87,16 +87,24 @@ def corpus_df(spark):
 
 
 def warmup(spark):
-    """One tiny Arrow-UDF job so python-worker/JVM startup isn't billed to
-    the first timed phase (steady-state throughput is the metric)."""
-    import pandas as pd
+    """Warm every python worker with the REAL kernels before timing: worker
+    cold-start (pandas/repo imports + fork-COW faults) costs 5-8 CPU-s per
+    worker — measured 289 vs 57 CPU-s for an identical job cold vs warm at 32
+    workers. A miniature build exercises the same code paths end to end."""
+    import shutil
 
-    def k(it):
-        for pdf in it:
-            yield pdf
+    from text_retrieval_and_search_engines_spark.plans.index_build import (
+        IndexConfig as _IC)
+    from text_retrieval_and_search_engines_spark.sources.synth_spark import (
+        synth_corpus)
+    from text_retrieval_and_search_engines_spark.sources.tables import Catalog
 
-    df = spark.range(1000).selectExpr("id", "id * 2 as v")
-    df.mapInPandas(k, schema="id long, v long").count()
+    root = "/tmp/bench_warm_catalog"
+    shutil.rmtree(root, ignore_errors=True)
+    mini = synth_corpus(spark, 4000, vocab_size=2000)
+    build_index(spark, mini, Catalog(root),
+                _IC(range_size=512, langs=(), recompute_text=False,
+                    materialize_docs=False), input_fp="warm")
 
 
 def build_queries(spark, n=50):
@@ -179,7 +187,12 @@ def single_build(cpus: int, n_docs: int) -> None:
 
     spark = make_spark(cpus)
     warmup(spark)
-    corpus = synth_corpus(spark, n_docs)
+    # input comes from storage, like a real crawl — generation is NOT the job
+    corpus_path = f"/tmp/bench_corpus_{n_docs}.parquet"
+    if not os.path.exists(corpus_path):
+        synth_corpus(spark, n_docs, n_partitions=32).write.mode(
+            "overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
     root = f"/tmp/bench_scale_{cpus}"
     shutil.rmtree(root, ignore_errors=True)
     catalog = Catalog(root)
@@ -189,7 +202,7 @@ def single_build(cpus: int, n_docs: int) -> None:
     cfg = IndexConfig(range_size=8192, langs=(), recompute_text=False,
                       materialize_docs=False)
     t0 = time.perf_counter()
-    build_index(spark, corpus, catalog, cfg, input_fp=f"scale-{n_docs}")
+    info = build_index(spark, corpus, catalog, cfg, input_fp=f"scale-{n_docs}")
     t_build = time.perf_counter() - t0
     reader = IndexReader(spark, catalog).cache()
     qrows = [(str(301 + i), " ".join(
@@ -208,6 +221,7 @@ def single_build(cpus: int, n_docs: int) -> None:
         "index_build_sec": round(t_build, 3),
         "index_docs_per_sec": round(n_docs / t_build, 1),
         "bm25_batch50_sec": round(t_batch, 3),
+        "phase_sec": info.get("phase_sec", {}),
     }))
     spark.stop()
 

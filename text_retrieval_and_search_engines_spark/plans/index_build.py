@@ -204,7 +204,7 @@ def explode_tokens(doc_tokens: DataFrame) -> DataFrame:
 # phase 3: postings chunks per (term, range)
 # --------------------------------------------------------------------------
 
-def build_postings(tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
+def build_postings(doc_tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
     """(term, range_id)-partitioned chunk encode: delta+varbyte payload +
     block-max metadata + per-block skip offsets. Max group size = range_size
     (the deterministic skew cap).
@@ -237,52 +237,106 @@ def build_postings(tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
         ))
 
     cols = [c.strip().split(" ")[0] for c in POSTINGS_SCHEMA.split(",")]
+    RUNS_SCHEMA = ("term string, range_id long, docids array<long>, "
+                   "tfs array<int>, dls array<int>")
 
-    def kernel(iterator):
+    # ---- map-side combine: per-input-partition partial posting runs -------
+    # Instead of shuffling one row per token occurrence (tens of millions),
+    # each input partition locally groups its tokens into (term, range) RUNS
+    # with array payloads — ~2 orders of magnitude fewer shuffle rows, same
+    # bytes, trivial sort cost. This is the "salted runs ... merged via
+    # sort-merge combine across partitions" of the north_star.
+    def runs_kernel(iterator):
+        # flatten per-doc (terms[], tfs[]) arrays numpy-side — no JVM explode,
+        # no per-token Arrow rows (list arrays travel compactly)
+        t_parts, d_parts, tf_parts, dl_parts = [], [], [], []
+        for pdf in iterator:
+            term_lists = pdf["terms"].to_numpy()
+            counts = np.fromiter((len(x) for x in term_lists),
+                                 dtype=np.int64, count=len(term_lists))
+            if counts.sum() == 0:
+                continue
+            d_parts.append(np.repeat(
+                pdf["docid"].to_numpy().astype(np.int64), counts))
+            dl_parts.append(np.repeat(
+                pdf["dl"].to_numpy().astype(np.int32), counts))
+            t_parts.append(np.concatenate(
+                [np.asarray(x, dtype=object) for x in term_lists if len(x)]))
+            tf_parts.append(np.concatenate(
+                [np.asarray(x, dtype=np.int32)
+                 for x in pdf["tfs"].to_numpy() if len(x)]))
+        if not d_parts:
+            return
+        terms = np.concatenate(t_parts)
+        docids = np.concatenate(d_parts)
+        tf_a = np.concatenate(tf_parts)
+        dl_a = np.concatenate(dl_parts)
+        ranges = docids // range_size
+        order = np.lexsort((docids, ranges, terms))
+        terms, docids = terms[order], docids[order]
+        tf_a, dl_a, ranges = tf_a[order], dl_a[order], ranges[order]
+        change = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (ranges[1:] != ranges[:-1])) + 1
+        bounds = np.concatenate(([0], change, [terms.size]))
+        rows = []
+        for gi in range(len(bounds) - 1):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            rows.append((terms[lo], int(ranges[lo]), docids[lo:hi].tolist(),
+                         tf_a[lo:hi].tolist(), dl_a[lo:hi].tolist()))
+            if len(rows) >= 20000:
+                yield pd.DataFrame(rows, columns=["term", "range_id",
+                                                  "docids", "tfs", "dls"])
+                rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=["term", "range_id",
+                                              "docids", "tfs", "dls"])
+
+    # ---- reduce side: sort-merge combine runs per (term, range) -----------
+    def merge_kernel(iterator):
         held: pd.DataFrame | None = None
+
+        def emit_group(g: pd.DataFrame, out: list, t0: float):
+            docids = np.concatenate([np.asarray(x, dtype=np.int64)
+                                     for x in g["docids"]])
+            tfs = np.concatenate([np.asarray(x, dtype=np.int64)
+                                  for x in g["tfs"]])
+            dls = np.concatenate([np.asarray(x, dtype=np.int64)
+                                  for x in g["dls"]])
+            order = np.argsort(docids, kind="stable")
+            encode_run(g["term"].iloc[0], int(g["range_id"].iloc[0]),
+                       docids[order], tfs[order], dls[order], out, t0)
+
         for pdf in iterator:
             if held is not None:
                 pdf = pd.concat([held, pdf], ignore_index=True)
             terms = pdf["term"].to_numpy()
             ranges = pdf["range_id"].to_numpy()
-            # group change points (input sorted by term, range_id, docid)
             change = np.flatnonzero(
                 (terms[1:] != terms[:-1]) | (ranges[1:] != ranges[:-1])) + 1
             bounds = np.concatenate(([0], change, [len(pdf)]))
             if len(bounds) >= 2:
-                # last group may continue in the next batch — hold it back
                 held = pdf.iloc[bounds[-2]:].reset_index(drop=True)
                 bounds = bounds[:-1]
-            docid_a = pdf["docid"].to_numpy().astype(np.int64)
-            tf_a = pdf["tf"].to_numpy().astype(np.int64)
-            dl_a = pdf["dl"].to_numpy().astype(np.int64)
             out: list = []
             t0 = time.perf_counter()
             for gi in range(len(bounds) - 1):
-                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-                encode_run(terms[lo], int(ranges[lo]), docid_a[lo:hi],
-                           tf_a[lo:hi], dl_a[lo:hi], out, t0)
+                emit_group(pdf.iloc[int(bounds[gi]):int(bounds[gi + 1])],
+                           out, t0)
                 t0 = time.perf_counter()
             if out:
                 yield pd.DataFrame(out, columns=cols)
         if held is not None and len(held):
-            terms = held["term"].to_numpy()
-            ranges = held["range_id"].to_numpy()
             out = []
-            encode_run(terms[0], int(ranges[0]),
-                       held["docid"].to_numpy().astype(np.int64),
-                       held["tf"].to_numpy().astype(np.int64),
-                       held["dl"].to_numpy().astype(np.int64),
-                       out, time.perf_counter())
+            emit_group(held, out, time.perf_counter())
             yield pd.DataFrame(out, columns=cols)
 
-    with_range = tokens.withColumn(
-        "range_id", (F.col("docid") / F.lit(cfg.range_size)).cast("long"))
-    spark = tokens.sparkSession
+    spark = doc_tokens.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parted = (with_range.repartition(n_shuffle, "term", "range_id")
-              .sortWithinPartitions("term", "range_id", "docid"))
-    return parted.mapInPandas(kernel, schema=POSTINGS_SCHEMA)
+    runs = doc_tokens.select("docid", "dl", "terms", "tfs").mapInPandas(
+        runs_kernel, schema=RUNS_SCHEMA)
+    parted = (runs.repartition(n_shuffle, "term", "range_id")
+              .sortWithinPartitions("term", "range_id"))
+    return parted.mapInPandas(merge_kernel, schema=POSTINGS_SCHEMA)
 
 
 def lineage_from_postings(postings: DataFrame) -> DataFrame:
@@ -322,6 +376,7 @@ def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
     """
     fp = cfg.fingerprint(input_fp)
     t_start = time.perf_counter()
+    phase_sec: dict[str, float] = {}
 
     if force or not catalog.has_table("doc_tokens", fp):
         docs = extract_docs(pages, cfg)   # lineage: re-derivable, not stored
@@ -339,15 +394,18 @@ def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
                            "doc_tokens", fp)
             f1.result(), f2.result()
         docs.unpersist()
+        phase_sec["tokenize"] = round(time.perf_counter() - t_start, 2)
     doc_tokens = catalog.read_table(spark, "doc_tokens")
 
     if force or not catalog.has_table("postings", fp):
-        tokens = explode_tokens(doc_tokens)
+        t_p = time.perf_counter()
         catalog.write_table(
-            build_postings(tokens, cfg).repartition("term_bucket"),
+            build_postings(doc_tokens, cfg).repartition("term_bucket"),
             "postings", fingerprint=fp, partition_by=["term_bucket"])
+        phase_sec["postings"] = round(time.perf_counter() - t_p, 2)
 
     if force or not catalog.has_table("stats", fp):
+        t_m = time.perf_counter()
         postings = catalog.read_table(spark, "postings").persist()
         postings.count()
         termstats = postings.groupBy("term").agg(
@@ -370,6 +428,7 @@ def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
             "n_docs long, avgdl double, range_size long, block int, "
             "n_term_buckets int")
         catalog.write_table(stats, "stats", fingerprint=fp)
+        phase_sec["meta"] = round(time.perf_counter() - t_m, 2)
 
     srow = catalog.read_table(spark, "stats").collect()[0]
     return {
@@ -377,4 +436,5 @@ def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
         "avgdl": srow["avgdl"],
         "fingerprint": fp,
         "build_sec": time.perf_counter() - t_start,
+        "phase_sec": phase_sec,
     }
