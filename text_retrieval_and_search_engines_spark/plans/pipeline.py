@@ -32,6 +32,12 @@ from .query import IndexReader, SearchParams, attach_urls, search, search_rm3
 RerankFn = Callable[[DataFrame, DataFrame], DataFrame]
 
 
+def auto_rerank_breadth(depth: int) -> int:
+    """R11 (reference main.py:109-114): bi-encoder breadth auto-scaled from
+    retrieval depth — min(depth*15, max(3000, depth*8))."""
+    return min(depth * 15, max(3000, depth * 8))
+
+
 def lexical_overlap_reranker(passages: DataFrame, queries: DataFrame
                              ) -> DataFrame:
     """Deterministic neural-stage stand-in: score = |query terms in passage|
