@@ -111,11 +111,24 @@ def _score_and_merge(reader: IndexReader, qt: DataFrame,
               "goff", "toff", "doff"] if params.algo == "bmw" else [])
     postings = reader.postings
     if buckets is not None:
-        # partition pruning: only the buckets holding this query's terms
+        # static partition pruning: only buckets holding this query's terms
         postings = postings.filter(F.col("term_bucket").isin(buckets))
+        join_keys = ["term"]
+        qt_cols = ["qid", "term", "weight", "df", "n_qterms"]
+    elif reader.n_term_buckets:
+        # join on the partition column too -> Spark dynamic partition
+        # pruning skips non-matching term_bucket directories at scan time
+        qt = qt.withColumn(
+            "term_bucket",
+            (F.conv(F.substring(F.md5("term"), 1, 15), 16, 10)
+             .cast("long") % reader.n_term_buckets).cast("int"))
+        join_keys = ["term_bucket", "term"]
+        qt_cols = ["qid", "term", "term_bucket", "weight", "df", "n_qterms"]
+    else:
+        join_keys = ["term"]
+        qt_cols = ["qid", "term", "weight", "df", "n_qterms"]
     matched = postings.join(
-        F.broadcast(qt.select("qid", "term", "weight", "df", "n_qterms")),
-        "term", "inner",
+        F.broadcast(qt.select(*qt_cols)), join_keys, "inner",
     ).select("qid", "term", "weight", "df", "n_qterms", "range_id",
              "payload", *extra)
 

@@ -137,7 +137,9 @@ def synth_queries(n_queries: int, seed: int = 42, vocab_size: int = 5000
 
 def write_pages_parquet(path: str, n_docs: int, seed: int = 42,
                         vocab_size: int = 5000) -> pd.DataFrame:
-    """Write the synthetic corpus to parquet (driver-side, for fixtures)."""
+    """Write the synthetic corpus to parquet (driver-side, for fixtures).
+    Timestamps coerced to microseconds — Spark rejects TIMESTAMP(NANOS)."""
     pdf = synth_pages(n_docs, seed=seed, vocab_size=vocab_size)
-    pdf.to_parquet(path, index=False)
+    pdf.to_parquet(path, index=False, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
     return pdf
