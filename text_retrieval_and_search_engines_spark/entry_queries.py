@@ -676,6 +676,59 @@ def q_simhash_neardup(spark, sf_dir):
     return dedup.simhash_neardup(fps, max_hamming=6)
 
 
+# -------------------------------------------------------------------------
+# REAL distributed engine, oracle-gated: with the "simple" analyzer the
+# full index-build + compressed-postings + kernel-scoring path computes the
+# same function as the DuckDB BM25 CTE, so the driver's value-hash gate
+# covers codec, chunking, scoring kernels, and top-k merge — not just the
+# relational plan. docids are rank-of-url with zero-padded urls, i.e. the
+# table's doc_id.
+# -------------------------------------------------------------------------
+
+_ENGINE_CACHE: dict[str, object] = {}
+
+
+def _engine_reader(spark, sf_dir):
+    if sf_dir not in _ENGINE_CACHE:
+        import hashlib
+
+        from .plans.index_build import IndexConfig, build_index
+        from .plans.query import IndexReader
+        from .sources.tables import Catalog
+
+        root = ("/tmp/entry_engine_"
+                + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+        catalog = Catalog(root)
+        cfg = IndexConfig(range_size=4096, analyzer="simple", langs=(),
+                          recompute_text=False, materialize_docs=False)
+        corpus = _docs(spark, sf_dir).select(
+            F.format_string("doc%012d", F.col("doc_id")).alias("url"), "text")
+        build_index(spark, corpus, catalog, cfg, input_fp=sf_dir)
+        _ENGINE_CACHE[sf_dir] = IndexReader(spark, catalog)
+    return _ENGINE_CACHE[sf_dir]
+
+
+def _engine_topk(spark, sf_dir, algo: str):
+    from .plans.query import SearchParams, search
+    reader = _engine_reader(spark, sf_dir)
+    qdf = spark.createDataFrame(BM25_QUERIES, "qid string, text string")
+    res = search(reader, qdf, SearchParams(k=50, algo=algo))
+    # re-rank over 6dp-rounded scores so the tie-break matches the SQL twin
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (res.select("qid", F.col("docid").alias("doc_id"),
+                       F.round("score", 6).alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10))
+
+
+def q_engine_bm25(spark, sf_dir):
+    return _engine_topk(spark, sf_dir, "exact")
+
+
+def q_engine_bmw(spark, sf_dir):
+    return _engine_topk(spark, sf_dir, "bmw")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -692,6 +745,8 @@ QUERY_FNS = {
     "dedup_simhash": q_dedup_simhash,
     "simhash_neardup": q_simhash_neardup,      # rows-only (band join in SQL
                                                # is disproportionate)
+    "engine_bm25_topk": q_engine_bm25,
+    "engine_bmw_topk": q_engine_bmw,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "lang_id": q_lang_id,
@@ -724,6 +779,8 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "engine_bm25_topk": bm25.bm25_topk_sql(BM25_QUERIES, k=10),
+    "engine_bmw_topk": bm25.bm25_topk_sql(BM25_QUERIES, k=10),
     "ann_cosine_topk": ANN_TOPK_SQL,
     "embedding_neardup": EMB_NEARDUP_SQL,
     "lang_id": LANG_ID_SQL,

@@ -72,6 +72,10 @@ class IndexConfig:
     range_size: int = 1 << 17          # docids per postings chunk (skew cap)
     block: int = 128                   # postings per block-max block
     n_term_buckets: int = 32           # postings partition-pruning buckets
+    analyzer: str = "english"          # "english" (stop+Porter, the pinned
+                                       # reference chain) | "simple"
+                                       # (lowercase [a-z0-9]+ only — the
+                                       # SQL-twinnable variant)
     langs: tuple[str, ...] = ("en",)   # analyzer is English (robust04)
     recompute_text: bool = True        # html -> text via pinned extractor
     n_partitions: int | None = None    # docid-assignment range partitions
@@ -148,7 +152,7 @@ def extract_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
 # phase 2: tokenize -> (docid, term, tf, dl); doclens
 # --------------------------------------------------------------------------
 
-def tokenize_docs(docs: DataFrame) -> DataFrame:
+def tokenize_docs(docs: DataFrame, analyzer: str = "english") -> DataFrame:
     """One Arrow pass per doc -> (docid, dl, terms[], tfs[]). Zero-token docs
     keep a row (dl=0, empty arrays) so N/avgdl count them (oracle parity)."""
 
@@ -156,8 +160,8 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
 
     def kernel(iterator):
         findall = _TOKEN_RE.findall
-        stem = _stem_cached
-        stop = STOPWORDS
+        stem = _stem_cached if analyzer == "english" else (lambda t: t)
+        stop = STOPWORDS if analyzer == "english" else frozenset()
         for pdf in iterator:
             terms, tfs, dls = [], [], []
             for text in pdf["text"]:
@@ -390,7 +394,8 @@ def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
         with ThreadPoolExecutor(2) as ex:
             f1 = ex.submit(catalog.write_table, docs.select("docid", "url"),
                            "docmap", fp)
-            f2 = ex.submit(catalog.write_table, tokenize_docs(docs),
+            f2 = ex.submit(catalog.write_table,
+                           tokenize_docs(docs, cfg.analyzer),
                            "doc_tokens", fp)
             f1.result(), f2.result()
         docs.unpersist()
@@ -424,9 +429,9 @@ def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
         postings.unpersist()
         stats = spark.createDataFrame(
             [(int(agg["n_docs"]), float(agg["avgdl"] or 0.0),
-              cfg.range_size, cfg.block, cfg.n_term_buckets)],
+              cfg.range_size, cfg.block, cfg.n_term_buckets, cfg.analyzer)],
             "n_docs long, avgdl double, range_size long, block int, "
-            "n_term_buckets int")
+            "n_term_buckets int, analyzer string")
         catalog.write_table(stats, "stats", fingerprint=fp)
         phase_sec["meta"] = round(time.perf_counter() - t_m, 2)
 

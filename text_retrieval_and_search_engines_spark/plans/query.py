@@ -67,6 +67,8 @@ class IndexReader:
         self.range_size = int(row["range_size"])
         self.n_term_buckets = int(row["n_term_buckets"]) \
             if "n_term_buckets" in row.__fields__ else 0
+        self.analyzer = (row["analyzer"]
+                         if "analyzer" in row.__fields__ else "english")
 
     def cache(self) -> "IndexReader":
         """Pin postings + termstats in executor memory for repeated-query
@@ -79,13 +81,16 @@ class IndexReader:
         return self
 
 
-def tokenize_queries(queries: DataFrame) -> DataFrame:
+def tokenize_queries(queries: DataFrame, analyzer: str = "english"
+                     ) -> DataFrame:
     """(qid, text) -> (qid, term, weight=query tf). Same pinned analyzer as
     indexing (functions/text.py)."""
+    simple = analyzer == "simple"
 
     def kernel(iterator):
         for pdf in iterator:
-            toks = tokenize_series(pdf["text"])
+            toks = tokenize_series(pdf["text"], stem=not simple,
+                                   stop=not simple)
             qids, terms, weights = [], [], []
             for qid, ts in zip(pdf["qid"], toks):
                 for t, w in term_freqs(ts).items():
@@ -211,7 +216,8 @@ def search_terms(reader: IndexReader, qterms: DataFrame,
 def search(reader: IndexReader, queries: DataFrame,
            params: SearchParams = SearchParams()) -> DataFrame:
     """BM25 top-k over (qid, text) queries — reference R1/R3 batch search."""
-    return search_terms(reader, tokenize_queries(queries), params)
+    return search_terms(reader, tokenize_queries(queries, reader.analyzer),
+                        params)
 
 
 def search_fast(reader: IndexReader, queries: list[tuple[str, str]],
@@ -223,9 +229,11 @@ def search_fast(reader: IndexReader, queries: list[tuple[str, str]],
     is the analogous single-query path, src/bm25_retrieval.py:45-85)."""
     from ..functions.text import tokenize
 
+    simple = reader.analyzer == "simple"
     rows = []
     for qid, text in queries:
-        for t, wgt in term_freqs(tokenize(text)).items():
+        toks = tokenize(text, stem=not simple, stop=not simple)
+        for t, wgt in term_freqs(toks).items():
             rows.append((qid, t, float(wgt)))
     if not rows:
         return _empty_results(reader.spark)
