@@ -250,15 +250,49 @@ def build_postings(doc_tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
     # with array payloads — ~2 orders of magnitude fewer shuffle rows, same
     # bytes, trivial sort cost. This is the "salted runs ... merged via
     # sort-merge combine across partitions" of the north_star.
+    RUNS_FLUSH_TOKENS = 4_000_000  # ~bounded memory per task; extra runs
+                                   # per (term, range) are fine — the merge
+                                   # side combines any number of them
+
     def runs_kernel(iterator):
         # flatten per-doc (terms[], tfs[]) arrays numpy-side — no JVM explode,
         # no per-token Arrow rows (list arrays travel compactly)
         t_parts, d_parts, tf_parts, dl_parts = [], [], [], []
+        buffered = 0
+
+        def flush():
+            terms = np.concatenate(t_parts)
+            docids = np.concatenate(d_parts)
+            tf_a = np.concatenate(tf_parts)
+            dl_a = np.concatenate(dl_parts)
+            t_parts.clear(), d_parts.clear(), tf_parts.clear(), dl_parts.clear()
+            ranges = docids // range_size
+            order = np.lexsort((docids, ranges, terms))
+            terms, docids = terms[order], docids[order]
+            tf_a, dl_a, ranges = tf_a[order], dl_a[order], ranges[order]
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (ranges[1:] != ranges[:-1])) + 1
+            bounds = np.concatenate(([0], change, [terms.size]))
+            rows = []
+            for gi in range(len(bounds) - 1):
+                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+                rows.append((terms[lo], int(ranges[lo]),
+                             docids[lo:hi].tolist(), tf_a[lo:hi].tolist(),
+                             dl_a[lo:hi].tolist()))
+                if len(rows) >= 20000:
+                    yield pd.DataFrame(rows, columns=["term", "range_id",
+                                                      "docids", "tfs", "dls"])
+                    rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=["term", "range_id",
+                                                  "docids", "tfs", "dls"])
+
         for pdf in iterator:
             term_lists = pdf["terms"].to_numpy()
             counts = np.fromiter((len(x) for x in term_lists),
                                  dtype=np.int64, count=len(term_lists))
-            if counts.sum() == 0:
+            n_tok = int(counts.sum())
+            if n_tok == 0:
                 continue
             d_parts.append(np.repeat(
                 pdf["docid"].to_numpy().astype(np.int64), counts))
@@ -269,31 +303,12 @@ def build_postings(doc_tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
             tf_parts.append(np.concatenate(
                 [np.asarray(x, dtype=np.int32)
                  for x in pdf["tfs"].to_numpy() if len(x)]))
-        if not d_parts:
-            return
-        terms = np.concatenate(t_parts)
-        docids = np.concatenate(d_parts)
-        tf_a = np.concatenate(tf_parts)
-        dl_a = np.concatenate(dl_parts)
-        ranges = docids // range_size
-        order = np.lexsort((docids, ranges, terms))
-        terms, docids = terms[order], docids[order]
-        tf_a, dl_a, ranges = tf_a[order], dl_a[order], ranges[order]
-        change = np.flatnonzero(
-            (terms[1:] != terms[:-1]) | (ranges[1:] != ranges[:-1])) + 1
-        bounds = np.concatenate(([0], change, [terms.size]))
-        rows = []
-        for gi in range(len(bounds) - 1):
-            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            rows.append((terms[lo], int(ranges[lo]), docids[lo:hi].tolist(),
-                         tf_a[lo:hi].tolist(), dl_a[lo:hi].tolist()))
-            if len(rows) >= 20000:
-                yield pd.DataFrame(rows, columns=["term", "range_id",
-                                                  "docids", "tfs", "dls"])
-                rows = []
-        if rows:
-            yield pd.DataFrame(rows, columns=["term", "range_id",
-                                              "docids", "tfs", "dls"])
+            buffered += n_tok
+            if buffered >= RUNS_FLUSH_TOKENS:
+                yield from flush()
+                buffered = 0
+        if d_parts:
+            yield from flush()
 
     # ---- reduce side: sort-merge combine runs per (term, range) -----------
     def merge_kernel(iterator):
