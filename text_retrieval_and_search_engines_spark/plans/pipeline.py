@@ -32,6 +32,25 @@ from .query import IndexReader, SearchParams, attach_urls, search, search_rm3
 RerankFn = Callable[[DataFrame, DataFrame], DataFrame]
 
 
+def docs_from_pages(reader, pages: DataFrame,
+                    recompute_text: bool = False) -> DataFrame:
+    """(docid, text) without a materialized docs table: join the raw pages
+    corpus back through docmap on url — the petabyte-scale shape where
+    re-copying text into the catalog is unaffordable
+    (IndexConfig.materialize_docs=False)."""
+    df = pages
+    if recompute_text:
+        import pandas as pd
+        from ..functions.text import extract_text_series
+
+        @F.pandas_udf("string")
+        def _extract(html: pd.Series) -> pd.Series:
+            return extract_text_series(html)
+        df = df.withColumn("text", _extract(F.col("html")))
+    return df.select("url", "text").join(reader.docmap, "url").select(
+        "docid", "text")
+
+
 def auto_rerank_breadth(depth: int) -> int:
     """R11 (reference main.py:109-114): bi-encoder breadth auto-scaled from
     retrieval depth — min(depth*15, max(3000, depth*8))."""
