@@ -133,7 +133,7 @@ def bench_index_and_query(cpus: int, do_entry_ops: bool) -> dict:
     warmup(spark)
 
     t0 = time.perf_counter()
-    cfg = IndexConfig(range_size=8192, langs=(), recompute_text=False,
+    cfg = IndexConfig(range_size=1 << 16, langs=(), recompute_text=False,
                       materialize_docs=False)
     build_index(spark, corpus, catalog, cfg, input_fp=f"bench-{SF_DIR}")
     t_build = time.perf_counter() - t0
@@ -199,7 +199,7 @@ def single_build(cpus: int, n_docs: int) -> None:
     # range_size caps per-(term,range) group size: the head-term skew salt.
     # 8192 engages chunking at bench scale; at 10^12 docs the default 1<<17
     # yields ~7.6M chunks per head term — same knob, same bound.
-    cfg = IndexConfig(range_size=8192, langs=(), recompute_text=False,
+    cfg = IndexConfig(range_size=1 << 16, langs=(), recompute_text=False,
                       materialize_docs=False)
     t0 = time.perf_counter()
     info = build_index(spark, corpus, catalog, cfg, input_fp=f"scale-{n_docs}")

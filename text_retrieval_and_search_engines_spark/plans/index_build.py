@@ -135,7 +135,13 @@ def assign_docids(pages: DataFrame, n_partitions: int | None = None) -> DataFram
 
 
 def extract_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Filter langs, (re)extract text byte-identically, assign docids."""
+    """Filter langs, (re)extract text byte-identically, assign docids.
+
+    The rank-by-url sort runs on the URL PROJECTION only (a few percent of
+    the corpus bytes) and joins back — never range-shuffles the full text.
+    AQE turns the join into a broadcast when the docmap fits; at 10^12 docs
+    it degrades to a hash join on url, still cheaper than sorting payloads.
+    """
     df = pages
     if cfg.langs:
         df = df.filter(F.col("lang").isin(list(cfg.langs)))
@@ -144,8 +150,9 @@ def extract_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
         def _extract(html: pd.Series) -> pd.Series:
             return extract_text_series(html)
         df = df.withColumn("text", _extract(F.col("html")))
-    docs = assign_docids(df.select("url", "text"), cfg.n_partitions)
-    return docs.select("docid", "url", "text")
+    docmap = assign_docids(df.select("url"), cfg.n_partitions)
+    return df.select("url", "text").join(docmap, "url").select(
+        "docid", "url", "text")
 
 
 # --------------------------------------------------------------------------
