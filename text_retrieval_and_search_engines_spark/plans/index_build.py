@@ -69,7 +69,15 @@ class IndexConfig:
     """Build-time knobs. k1/b are NOT here — they stay query-time parameters
     exactly as in the reference (``set_bm25``, src/bm25_retrieval.py:70)."""
 
-    range_size: int = 1 << 17          # docids per postings chunk (skew cap)
+    # docids per postings chunk. This is the engine's shard size: it bounds
+    # (a) the build-side merge group (<= range_size postings), (b) the
+    # query-side dense accumulator (range_size float64s), and (c) per-chunk
+    # encode/decode overhead amortization (chunks should hold >=10k postings
+    # for head terms — over-salting measured 3x slower at 10^6 docs).
+    # Tuning rule: local/bench 2^16-2^17; 10^9 docs ~2^20; 10^12 docs ~2^22
+    # (4M docs/range -> 32 MB accumulator, ~250k ranges = query fan-out units
+    # on a 1000-executor cluster, max head-term chunk ~40 MB).
+    range_size: int = 1 << 17
     block: int = 128                   # postings per block-max block
     n_term_buckets: int = 32           # postings partition-pruning buckets
     analyzer: str = "english"          # "english" (stop+Porter, the pinned
