@@ -222,6 +222,11 @@ def single_build(cpus: int, n_docs: int) -> None:
     t0 = time.perf_counter()
     search(reader, qdf, SearchParams(k=1000)).count()
     t_batch500 = time.perf_counter() - t0
+    # lineage-derived encode-kernel time: identical across parallelism levels
+    # iff the plan does the same work — a noise-immune conservation check
+    lin = catalog.read_table(spark, "lineage").agg(
+        F.sum("wall_time_ms").alias("ms"),
+        F.sum("n_postings").alias("p")).collect()[0]
     print(json.dumps({
         "cpus": cpus, "n_docs": n_docs,
         "index_build_sec": round(t_build, 3),
@@ -229,6 +234,8 @@ def single_build(cpus: int, n_docs: int) -> None:
         "bm25_batch50_sec": round(t_batch, 3),
         "bm25_batch500_sec": round(t_batch500, 3),
         "phase_sec": info.get("phase_sec", {}),
+        "encode_kernel_sec": round(float(lin["ms"]) / 1e3, 2),
+        "total_postings": int(lin["p"]),
     }))
     spark.stop()
 
