@@ -73,6 +73,18 @@ def main(argv: list[str] | None = None) -> int:
     p_p.add_argument("--qrels", default=None)
     p_p.add_argument("--out-dir", required=True)
 
+    p_a = sub.add_parser("append", help="incremental index append (streaming)")
+    _add_common(p_a)
+    p_a.add_argument("--pages", required=True)
+    p_a.add_argument("--stream", action="store_true",
+                     help="drain --pages as a Structured Streaming source")
+    p_a.add_argument("--checkpoint", default=None)
+    p_a.add_argument("--range-size", type=int, default=1 << 17)
+
+    p_c = sub.add_parser("compact", help="sort-merge combine appended chunks")
+    _add_common(p_c)
+    p_c.add_argument("--range-size", type=int, default=1 << 17)
+
     args = ap.parse_args(argv)
     spark = get_spark(f"engine-{args.cmd}", master=args.master)
     catalog = Catalog(args.catalog)
@@ -86,6 +98,39 @@ def main(argv: list[str] | None = None) -> int:
         info = build_index(spark, pages, catalog, cfg,
                            input_fp=args.pages, force=args.force)
         print(json.dumps(info))
+        return 0
+
+    if args.cmd in ("append", "compact"):
+        from .streaming.incremental import (append_pages_batch,
+                                            compact_postings,
+                                            stream_pages_into_index)
+        srow = catalog.read_table(spark, "stats").collect()[0]
+
+        def _opt(name, default):
+            return srow[name] if name in srow.__fields__ else default
+
+        cfg = IndexConfig(range_size=int(srow["range_size"]),
+                          block=int(srow["block"]),
+                          n_term_buckets=int(_opt("n_term_buckets", 32)),
+                          analyzer=str(_opt("analyzer", "english")),
+                          langs=(), recompute_text=False,
+                          materialize_docs=False)
+        if args.cmd == "compact":
+            compact_postings(spark, catalog, cfg)
+            print("compacted postings")
+            return 0
+        if args.stream:
+            q = stream_pages_into_index(
+                spark, args.pages,
+                "url string, warc_ts timestamp, html binary, text string, "
+                "lang string", catalog, cfg,
+                checkpoint_dir=args.checkpoint or (args.catalog + "/_ckpt"))
+            q.awaitTermination()
+            print("stream drained")
+        else:
+            info = append_pages_batch(
+                spark, spark.read.parquet(args.pages), catalog, cfg)
+            print(json.dumps(info))
         return 0
 
     reader = IndexReader(spark, catalog)
