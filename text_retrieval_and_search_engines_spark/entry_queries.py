@@ -134,7 +134,7 @@ def q_term_stats(spark, sf_dir):
 TERM_STATS_SQL = f"""
 WITH tokens AS ({bm25.simple_tokens_sql()}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2)
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY 1
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1
 ORDER BY df DESC, term ASC LIMIT 50
 """
 
@@ -275,6 +275,38 @@ SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes
 
 
 DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+def _simhash_neardup_sql(max_hamming: int = 6, bits: int = 32,
+                         bands: int = 4) -> str:
+    """DuckDB twin of dedup.simhash_neardup: same band bucketing (pairs with
+    Hamming <= r < bands are guaranteed a shared band; larger-r pairs only if
+    they happen to share one), then exact bit_count(xor) verify."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, (simhash >> {b * width}) & {mask} "
+        f"AS band_val FROM fps"
+        for b in range(bands))
+    fps_query = _simhash_sql(bits).strip().rstrip()
+    return f"""
+WITH fps AS ({fps_query}),
+buckets AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l JOIN buckets r
+    ON l.band_id = r.band_id AND l.band_val = r.band_val
+  WHERE l.doc_id < r.doc_id)
+SELECT c.doc_a, c.doc_b,
+       bit_count(xor(fa.simhash, fb.simhash))::INT AS hamming
+FROM cands c
+JOIN fps fa ON fa.doc_id = c.doc_a
+JOIN fps fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
+"""
+
+
+SIMHASH_NEARDUP_SQL = _simhash_neardup_sql()
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -729,6 +761,116 @@ def q_engine_bmw(spark, sf_dir):
     return _engine_topk(spark, sf_dir, "bmw")
 
 
+RM3_FB_DOCS = 3
+RM3_FB_TERMS = 5
+RM3_LAMBDA = 0.5
+
+
+def q_rm3_topk(spark, sf_dir):
+    """REAL two-pass engine RM3 (plans/query.py:rm3_expand/search_rm3) on the
+    simple-analyzer compressed-postings index, oracle-gated end to end:
+    first-pass kernel scoring -> relevance-model expansion -> second-pass
+    weighted-term scoring. Reference semantics: Anserini set_rm3
+    (src/bm25_retrieval.py:88-135)."""
+    from .plans.query import SearchParams, search_rm3
+
+    reader = _engine_reader(spark, sf_dir)
+    qdf = spark.createDataFrame(BM25_QUERIES, "qid string, text string")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"), "text")
+    res = search_rm3(reader, qdf, docs, fb_docs=RM3_FB_DOCS,
+                     fb_terms=RM3_FB_TERMS,
+                     original_query_weight=RM3_LAMBDA,
+                     params=SearchParams(k=50))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (res.select("qid", F.col("docid").alias("doc_id"),
+                       F.round("score", 6).alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10))
+
+
+def _rm3_topk_sql(queries, fb_docs: int = RM3_FB_DOCS,
+                  fb_terms: int = RM3_FB_TERMS, lam: float = RM3_LAMBDA,
+                  k: int = 10, k1: float = 0.9, b: float = 0.4) -> str:
+    """DuckDB twin of q_rm3_topk. Query-side tf and P(w|Q) are computed
+    driver-side with the same pinned simple tokenizer; both passes use the
+    Lucene>=8 BM25 formula; final scores rounded to 6dp before ranking
+    (first-pass fb selection and fb-term selection rank unrounded — both
+    sides agree to ~1e-15, and exact ties break on doc_id/term on both)."""
+    import re as _re
+    qrows, pqrows = [], []
+    for qid, text in queries:
+        terms = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        seen: dict[str, int] = {}
+        for t in terms:
+            seen[t] = seen.get(t, 0) + 1
+        qlen = len(terms)
+        for t, wgt in seen.items():
+            qrows.append(f"('{qid}', '{t}', {float(wgt)!r})")
+            pqrows.append(f"('{qid}', '{t}', {wgt / qlen!r})")
+    values = ", ".join(qrows)
+    pq_values = ", ".join(pqrows)
+    idf = "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    tfnorm = f"(tf / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)))"
+    return f"""
+WITH tokens AS ({bm25.simple_tokens_sql()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+consts AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM tokens)::DOUBLE
+         / (SELECT count(*) FROM documents) AS avgdl),
+qterms AS (SELECT * FROM (VALUES {values}) AS q(qid, term, weight)),
+scored1 AS (
+  SELECT qid, doc_id, sum(weight * {idf} * {tfnorm}) AS score
+  FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
+          JOIN dl USING (doc_id) CROSS JOIN consts
+  GROUP BY 1, 2),
+fb AS (
+  SELECT qid, doc_id, score FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id ASC) AS r
+    FROM scored1) WHERE r <= {fb_docs}),
+tot AS (SELECT qid, sum(score) AS total FROM fb GROUP BY 1),
+pr AS (
+  SELECT f.qid, t.term,
+         sum((f.score / z.total) * (t.tf::DOUBLE / d.dl)) AS w
+  FROM fb f JOIN tf t ON t.doc_id = f.doc_id
+       JOIN dl d ON d.doc_id = f.doc_id
+       JOIN tot z ON z.qid = f.qid
+  WHERE d.dl > 0
+  GROUP BY 1, 2),
+fbt AS (
+  SELECT qid, term, w FROM (
+    SELECT qid, term, w,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY w DESC, term ASC) AS r
+    FROM pr) WHERE r <= {fb_terms}),
+pq AS (SELECT * FROM (VALUES {pq_values}) AS p(qid, term, w)),
+expw AS (
+  SELECT coalesce(p.qid, f.qid) AS qid, coalesce(p.term, f.term) AS term,
+         {lam} * coalesce(p.w, 0.0) + {1.0 - lam} * coalesce(f.w, 0.0)
+           AS weight
+  FROM pq p FULL OUTER JOIN fbt f ON p.qid = f.qid AND p.term = f.term),
+scored2 AS (
+  SELECT qid, doc_id, round(sum(weight * {idf} * {tfnorm}), 6) AS score
+  FROM tf JOIN expw USING (term) JOIN dfreq USING (term)
+          JOIN dl USING (doc_id) CROSS JOIN consts
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM scored2)
+SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+RM3_TOPK_SQL = _rm3_topk_sql(BM25_QUERIES)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -743,10 +885,10 @@ QUERY_FNS = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
-    "simhash_neardup": q_simhash_neardup,      # rows-only (band join in SQL
-                                               # is disproportionate)
+    "simhash_neardup": q_simhash_neardup,
     "engine_bm25_topk": q_engine_bm25,
     "engine_bmw_topk": q_engine_bmw,
+    "rm3_topk": q_rm3_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "lang_id": q_lang_id,
@@ -779,8 +921,10 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "simhash_neardup": SIMHASH_NEARDUP_SQL,
     "engine_bm25_topk": bm25.bm25_topk_sql(BM25_QUERIES, k=10),
     "engine_bmw_topk": bm25.bm25_topk_sql(BM25_QUERIES, k=10),
+    "rm3_topk": RM3_TOPK_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "embedding_neardup": EMB_NEARDUP_SQL,
     "lang_id": LANG_ID_SQL,

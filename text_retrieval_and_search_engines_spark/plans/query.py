@@ -287,16 +287,20 @@ def rm3_expand(reader: IndexReader, queries: DataFrame, docs: DataFrame,
         F.broadcast(first.select("qid", "docid", "score")), "docid", "inner")
     fb = fb.join(F.broadcast(queries.withColumnRenamed("text", "query_text")), "qid")
     lam = original_query_weight
+    # feedback docs MUST be analyzed with the index's analyzer, or the
+    # expansion terms never match the postings (simple vs stemmed english)
+    do_stem = reader.analyzer != "simple"
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         (qid,) = key
         qtf = term_freqs(list(tokenize_series(
-            pd.Series([pdf["query_text"].iloc[0]])))[0])
+            pd.Series([pdf["query_text"].iloc[0]]),
+            stem=do_stem, stop=do_stem))[0])
         qlen = sum(qtf.values())
         pq = {t: tf / qlen for t, tf in qtf.items()} if qlen else {}
         total = float(pdf["score"].sum())
         pr: dict[str, float] = {}
-        tok_lists = tokenize_series(pdf["text"])
+        tok_lists = tokenize_series(pdf["text"], stem=do_stem, stop=do_stem)
         for toks, s in zip(tok_lists, pdf["score"]):
             pdw = s / total if total > 0 else 1.0 / len(pdf)
             dl = len(toks)
