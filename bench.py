@@ -56,6 +56,8 @@ def make_spark(cpus: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -262,10 +264,17 @@ def run_scaling(n_docs: int, reps: int = 3) -> dict:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--single-build", str(c), str(n_docs)],
-                capture_output=True, text=True, timeout=1200)
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            runs[str(c)].append(json.loads(line))
+                capture_output=True, text=True, timeout=1800)
+            lines = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("{")]
+            if not lines:   # one bad rep must not kill the harness
+                sys.stderr.write(
+                    f"single-build {c} failed:\n{out.stderr[-2000:]}\n")
+                continue
+            runs[str(c)].append(json.loads(lines[-1]))
+    for c, rs in runs.items():
+        if not rs:
+            raise RuntimeError(f"all single-build reps failed at local[{c}]")
     scale = {}
     for c, rs in runs.items():
         best = min(rs, key=lambda r: r["index_build_sec"])

@@ -78,3 +78,30 @@ def test_block_meta_shapes(n):
     bl, btf, bdl = codec.block_max_meta(docids, tfs, dls, block=128)
     assert len(bl) == (n + 127) // 128
     assert bl[-1] == docids[-1]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=0,
+             max_size=400, unique=True),
+    st.integers(min_value=0, max_value=100),
+    st.sampled_from([8, 128]),
+)
+def test_encode_chunk_matches_separate_calls(docids, range_start, block):
+    """encode_chunk (the fused build/compact kernel) must produce byte- and
+    value-identical output to encode_postings + block_max_meta +
+    block_offsets."""
+    docids = np.sort(np.array(docids, dtype=np.int64)) + range_start
+    rng = np.random.default_rng(3)
+    tfs = rng.integers(1, 300, size=docids.size).astype(np.int64)
+    dls = rng.integers(1, 5000, size=docids.size).astype(np.int64)
+    payload, bl, btf, bdl, go, to, do = codec.encode_chunk(
+        docids, tfs, dls, range_start=range_start, block=block)
+    assert payload == codec.encode_postings(docids, tfs, dls,
+                                            range_start=range_start)
+    bl0, btf0, bdl0 = codec.block_max_meta(docids, tfs, dls, block=block)
+    go0, to0, do0 = codec.block_offsets(docids, tfs, dls,
+                                        range_start=range_start, block=block)
+    for a, b in [(bl, bl0), (btf, btf0), (bdl, bdl0),
+                 (go, go0), (to, to0), (do, do0)]:
+        assert np.array_equal(np.asarray(a), np.asarray(b))

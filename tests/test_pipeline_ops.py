@@ -156,3 +156,66 @@ def test_multimodal_plumbing(spark):
     assert frames.select("media_id").distinct().count() == n_video
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx", fake=False)
+
+
+def test_lsh_multiprobe_recall(spark):
+    """VERDICT r1 item 9: multi-probe recall >= 0.9 at n_planes=16.
+
+    10 planted clusters: each query has 3 near-neighbors at cosine ~0.998
+    (expected sign-bit Hamming distance << 2), so probing radius 2 must
+    recover >= 90% of the exact top-3 that single-probe misses whenever a
+    plane splits the cluster."""
+    rng = np.random.default_rng(5)
+    rows, qrows = [], []
+    dim, vid = 12, 0
+    for qi in range(10):
+        center = rng.standard_normal(dim)
+        qrows.append((f"q{qi}", [float(x) for x in center]))
+        for _ in range(3):
+            v = center + rng.standard_normal(dim) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # background noise vectors
+    for _ in range(60):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(qrows, "qid string, embedding array<double>")
+
+    exact = similarity.cosine_topk(emb, q, k=3).collect()
+    approx = similarity.lsh_cosine_topk(emb, q, k=3, n_planes=16, seed=1,
+                                        n_probes=2).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["nbr_id"])
+    approx_sets: dict = {}
+    for r in approx:
+        approx_sets.setdefault(r["qid"], set()).add(r["nbr_id"])
+    hits = sum(len(exact_sets[k] & approx_sets.get(k, set()))
+               for k in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.9
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """VERDICT r1 item 5: an all-identical corpus forms one mega-bucket;
+    with max_bucket set the quadratic self-join is skipped for it while
+    normal near-dup pairs on the non-degenerate remainder still emerge."""
+    rows = [(i, "lorem ipsum dolor sit amet " * 5) for i in range(50)]
+    rows += [(100, "a genuinely unique document about spark engines"),
+             (101, "a genuinely unique document about spark engine")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.char_shingles(docs)
+    sig = dedup.minhash_signatures(sh)
+    pairs = dedup.minhash_lsh_pairs(sig, max_bucket=10).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # the 50-doc mega-bucket is dropped (0 of its ~1225 pairs) ...
+    assert not any(a < 100 and b < 100 for a, b in got)
+    # ... but the small near-dup bucket still pairs up
+    assert (100, 101) in got
+
+    fps = dedup.simhash(docs)
+    nd = dedup.simhash_neardup(fps, max_hamming=8, max_bucket=10).collect()
+    nd_pairs = {(r["doc_a"], r["doc_b"]) for r in nd}
+    assert not any(a < 100 and b < 100 for a, b in nd_pairs)
+    assert (100, 101) in nd_pairs

@@ -90,3 +90,109 @@ def test_streaming_source_appends(spark, tmp_path):
     assert reader.n_docs == 80
     urls = {r["url"] for r in reader.docmap.collect()}
     assert any("streamdoc" in u for u in urls)
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """VERDICT r1 item 3: the rename-first swap means a crash mid-compact
+    can never lose the postings table. Simulate the worst crash window
+    (live dir already moved aside, new dir not yet in place) and verify
+    compact_postings recovers and completes."""
+    import shutil
+
+    from text_retrieval_and_search_engines_spark.streaming.incremental import (
+        recover_postings)
+
+    p1 = synth_pages(50, seed=31, vocab_size=200)
+    p2 = synth_pages(20, seed=32, vocab_size=200)
+    p2["url"] = p2["url"].str.replace("doc", "crashdoc")
+    cat = Catalog(str(tmp_path / "cat3"))
+    build_index(spark, spark.createDataFrame(p1), cat, CFG, input_fp="c0")
+    append_pages_batch(spark, spark.createDataFrame(p2), cat, CFG)
+
+    reader = IndexReader(spark, cat)
+    before = search_fast(reader, [("q", "spark index data")],
+                         SearchParams(k=10)).collect()
+
+    # crash window: postings moved aside, replacement missing
+    final = cat.path("postings")
+    shutil.move(final, final + "__old")
+    assert not os.path.exists(final)
+
+    compact_postings(spark, cat, CFG)  # must recover, then compact
+    reader2 = IndexReader(spark, cat)
+    after = search_fast(reader2, [("q", "spark index data")],
+                        SearchParams(k=10)).collect()
+    assert [(r["docid"], round(r["score"], 10)) for r in after] == \
+        [(r["docid"], round(r["score"], 10)) for r in before]
+    dup = (reader2.postings.groupBy("term", "range_id").count()
+           .filter("count > 1").count())
+    assert dup == 0
+    # standalone recovery helper is a no-op on a healthy catalog
+    assert recover_postings(cat) is False
+
+
+def test_append_incremental_stats_and_analyzer(spark, tmp_path):
+    """VERDICT r1 item 4 + ADVICE: appends must (a) merge termstats
+    additively so they equal a full recompute, (b) carry running
+    n_docs/avgdl/next_docid counters, (c) tokenize with the INDEX's
+    analyzer and preserve the analyzer column."""
+    from pyspark.sql import functions as F
+
+    cfg = IndexConfig(range_size=64, block=16, langs=(),
+                      recompute_text=False, materialize_docs=False,
+                      analyzer="simple")
+    p1 = synth_pages(40, seed=41, vocab_size=150)
+    p2 = synth_pages(25, seed=42, vocab_size=150)
+    p2["url"] = p2["url"].str.replace("doc", "incdoc")
+    cat = Catalog(str(tmp_path / "cat4"))
+    build_index(spark, spark.createDataFrame(p1), cat, cfg, input_fp="i0")
+    info = append_pages_batch(spark, spark.createDataFrame(p2), cat, cfg)
+    assert info["base_docid"] == 40
+
+    reader = IndexReader(spark, cat)
+    assert reader.analyzer == "simple"   # column survived the append
+    assert reader.n_docs == 65
+
+    # termstats (incremental merge) == full recompute from postings
+    full = (reader.postings.groupBy("term")
+            .agg(F.sum("df_chunk").alias("df0"), F.sum("cf_chunk").alias("cf0")))
+    inc = reader.termstats
+    joined = full.join(inc, "term", "full")
+    diff = joined.filter(
+        F.col("df0").isNull() | F.col("df").isNull()
+        | (F.col("df0") != F.col("df")) | (F.col("cf0") != F.col("cf"))
+    ).count()
+    assert diff == 0
+
+    # avgdl from running counters == recompute from doclens
+    dl = (cat.read_table(spark, "doclens")
+          .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0])
+    assert reader.n_docs == int(dl["n"])
+    assert abs(reader.avgdl - float(dl["a"])) < 1e-9
+
+    # a second append chains next_docid without scanning docmap
+    p3 = synth_pages(10, seed=43, vocab_size=150)
+    p3["url"] = p3["url"].str.replace("doc", "thirddoc")
+    info3 = append_pages_batch(spark, spark.createDataFrame(p3), cat, cfg)
+    assert info3["base_docid"] == 65
+
+
+def test_recrawl_dedup_keeps_latest(spark, tmp_path):
+    """ADVICE r1: duplicate urls (recrawls) must not inflate df/cf or
+    duplicate docids — the build keeps the latest warc_ts capture."""
+    import pandas as pd
+
+    p1 = synth_pages(30, seed=51, vocab_size=100)
+    dup = p1.iloc[:5].copy()
+    dup["warc_ts"] = dup["warc_ts"] + pd.Timedelta(days=30)
+    dup["text"] = "fresh recrawl content marker " + dup["url"]
+    pages = pd.concat([p1, dup], ignore_index=True)
+
+    cat = Catalog(str(tmp_path / "cat5"))
+    info = build_index(spark, spark.createDataFrame(pages), cat, CFG,
+                       input_fp="r0")
+    assert info["n_docs"] == 30          # 30 unique urls, not 35
+    reader = IndexReader(spark, cat)
+    got = search_fast(reader, [("q", "recrawl marker")],
+                      SearchParams(k=10)).collect()
+    assert len(got) == 5                 # only the 5 recrawled docs match

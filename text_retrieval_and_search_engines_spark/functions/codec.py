@@ -29,23 +29,38 @@ BLOCK = 128
 _HDR = np.dtype("<u4")
 
 
+def _vb_nbytes(v: np.ndarray, vmax: int) -> tuple[np.ndarray, int]:
+    """Per-value encoded byte counts. Adaptive: one comparison pass per
+    EXTRA byte actually present (the old fixed 9-pass loop dominated the
+    encode wall — memory-bound, and postings streams are 1-2 bytes/value)."""
+    nb = np.ones(v.shape, dtype=np.int64)
+    k = 1
+    while vmax >= (1 << (7 * k)):
+        nb += v >= (np.uint64(1) << np.uint64(7 * k))
+        k += 1
+    return nb, k
+
+
 def vb_encode(values: np.ndarray) -> np.ndarray:
     """Vectorized varbyte encode of a uint64 array -> uint8 array."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8)
-    # bytes needed per value: 1 + number of 128**k thresholds passed
-    nb = np.ones(v.shape, dtype=np.int64)
-    for k in range(1, 10):
-        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    vmax = int(v.max())
+    if vmax < 0x80:
+        # single-byte fast path (tf streams, dense-term gap streams): value
+        # and terminator bit in ONE pass
+        return v.astype(np.uint8) | np.uint8(0x80)
+    nb, max_nb = _vb_nbytes(v, vmax)
     ends = np.cumsum(nb)
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
     starts = ends - nb
-    max_nb = int(nb.max())
-    for j in range(max_nb):
+    # byte 0 exists for every value — write unmasked
+    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8)
+    for j in range(1, max_nb):
         mask = nb > j
         pos = starts[mask] + j
-        chunk = (v[mask] >> np.uint64(7 * j)).astype(np.uint64) & np.uint64(0x7F)
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         out[pos] = chunk.astype(np.uint8)
     # set terminator (high) bit on last byte of each value
     out[ends - 1] |= 0x80
@@ -57,13 +72,22 @@ def vb_decode(buf: np.ndarray) -> np.ndarray:
     b = np.ascontiguousarray(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if int(b.min()) >= 0x80:
+        # every byte is a terminator -> all values single-byte
+        return (b & np.uint8(0x7F)).astype(np.uint64)
     ends = np.flatnonzero(b & 0x80)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, ends - starts + 1)
-    shifted = (b.astype(np.uint64) & np.uint64(0x7F)) << (7 * pos).astype(np.uint64)
-    return np.add.reduceat(shifted, starts)
+    lens = ends - starts
+    out = (b[starts] & np.uint8(0x7F)).astype(np.uint64)
+    # per-byte-position gather: max-length passes over n_values (vs the old
+    # repeat/arange/reduceat form's ~5 passes over ALL bytes)
+    for j in range(1, int(lens.max()) + 1):
+        sel = lens >= j
+        out[sel] |= ((b[starts[sel] + j] & np.uint8(0x7F)).astype(np.uint64)
+                     << np.uint64(7 * j))
+    return out
 
 
 def encode_postings(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
@@ -133,9 +157,9 @@ def bm25_tf_norm(tf, dl, k1: float, b: float, avgdl: float):
 def vb_lengths(values: np.ndarray) -> np.ndarray:
     """Encoded byte length per value (vectorized)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    nb = np.ones(v.shape, dtype=np.int64)
-    for k in range(1, 10):
-        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.int64)
+    nb, _ = _vb_nbytes(v, int(v.max()))
     return nb
 
 
@@ -164,6 +188,73 @@ def block_offsets(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
 
     return offs(gaps), offs(np.asarray(tfs, dtype=np.uint64)), \
         offs(np.asarray(dls, dtype=np.uint64))
+
+
+def _encode_stream(v: np.ndarray, marks: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Encode one uint64 stream and return (bytes, byte-offsets at marks).
+    Shares the per-value length computation between the payload bytes and
+    the block skip offsets (encode_postings + block_offsets separately
+    recomputed lengths — 2x the memory traffic of the fused form)."""
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    vmax = int(v.max())
+    if vmax < 0x80:
+        # single-byte fast path: offsets are the mark positions themselves
+        return v.astype(np.uint8) | np.uint8(0x80), marks.astype(np.int64)
+    nb, max_nb = _vb_nbytes(v, vmax)
+    ends = np.cumsum(nb)
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    starts = ends - nb
+    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8)
+    for j in range(1, max_nb):
+        mask = nb > j
+        pos = starts[mask] + j
+        out[pos] = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+                    ).astype(np.uint8)
+    out[ends - 1] |= 0x80
+    offs = np.empty(marks.size, dtype=np.int64)
+    offs[0] = 0
+    offs[1:] = ends[marks[1:] - 1]
+    return out, offs
+
+
+def encode_chunk(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                 range_start: int = 0, block: int = BLOCK):
+    """Fused chunk encode: payload + block-max metadata + block skip offsets
+    in ONE pass over the postings (the build/compact hot kernel — the
+    separate encode_postings/block_max_meta/block_offsets calls each
+    re-derived gaps/lengths, ~2x the memory traffic, which is what stops
+    scaling when 4N workers share one memory bus).
+
+    Returns (payload bytes, block_last int64[], block_max_tf int64[],
+    block_min_dl int64[], goff int64[], toff int64[], doff int64[]).
+    """
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    n = docids.size
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        z1 = np.zeros(1, dtype=np.int64)
+        return (np.zeros(4, dtype=_HDR).tobytes(), z, z.copy(), z.copy(),
+                z1, z1.copy(), z1.copy())
+    tfs64 = np.asarray(tfs, dtype=np.uint64)
+    dls64 = np.asarray(dls, dtype=np.uint64)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = docids[0] - range_start
+    gaps[1:] = np.diff(docids).astype(np.uint64)
+    marks = np.arange(0, n + block, block, dtype=np.int64)
+    marks[-1] = min(int(marks[-1]), n)
+    marks = np.unique(marks)
+    g, goff = _encode_stream(gaps, marks)
+    t, toff = _encode_stream(tfs64, marks)
+    d, doff = _encode_stream(dls64, marks)
+    hdr = np.array([n, g.size, t.size, d.size], dtype=_HDR)
+    payload = b"".join((hdr.tobytes(), g.tobytes(), t.tobytes(), d.tobytes()))
+    block_ends = marks[1:] - 1
+    block_last = docids[block_ends]
+    block_max_tf = np.maximum.reduceat(tfs64.astype(np.int64), marks[:-1])
+    block_min_dl = np.minimum.reduceat(dls64.astype(np.int64), marks[:-1])
+    return payload, block_last, block_max_tf, block_min_dl, goff, toff, doff
 
 
 def decode_block(payload: bytes, b: int, goff, toff, doff,

@@ -91,9 +91,26 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = MINHASH_N
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def _cap_buckets(buckets: DataFrame, keys: list[str],
+                 max_bucket: int) -> DataFrame:
+    """Drop band buckets larger than `max_bucket` members: a degenerate
+    bucket (boilerplate / empty docs) makes the self-join quadratic WITHIN
+    the bucket at web scale. Oversized buckets are near-useless for near-dup
+    anyway (everything matches everything); exact-dedup catches the
+    byte-identical core. Off when max_bucket <= 0."""
+    if max_bucket <= 0:
+        return buckets
+    ok = (buckets.groupBy(*keys).count()
+          .filter(F.col("count") <= max_bucket).drop("count"))
+    return buckets.join(ok, keys, "left_semi")
+
+
 def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
-                      bands: int = LSH_BANDS) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket -> candidate pairs (a < b)."""
+                      bands: int = LSH_BANDS,
+                      max_bucket: int = 0) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket -> candidate pairs (a < b).
+    `max_bucket` caps bucket cardinality (see _cap_buckets) — set it at
+    web scale (e.g. 10_000) to bound the within-bucket quadratic join."""
     rows_per_band = n_hashes // bands
     per_band = []
     for b in range(bands):
@@ -103,6 +120,7 @@ def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
         per_band.append(signatures.select(
             "doc_id", F.lit(b).alias("band_id"), key))
     buckets = reduce(lambda a, c: a.unionByName(c), per_band)
+    buckets = _cap_buckets(buckets, ["band_id", "band_key"], max_bucket)
     left = buckets.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     right = buckets.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     return (
@@ -161,9 +179,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_neardup(fps: DataFrame, max_hamming: int = 3, bits: int = 32,
-                    bands: int = 4) -> DataFrame:
+                    bands: int = 4, max_bucket: int = 0) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming, found via
-    band buckets (a pair within radius r < bands shares >= 1 exact band)."""
+    band buckets (a pair within radius r < bands shares >= 1 exact band).
+    `max_bucket` caps bucket cardinality at web scale (see _cap_buckets)."""
     width = bits // bands
     mask = (1 << width) - 1
     per_band = [
@@ -174,6 +193,7 @@ def simhash_neardup(fps: DataFrame, max_hamming: int = 3, bits: int = 32,
         for b in range(bands)
     ]
     buckets = reduce(lambda a, c: a.unionByName(c), per_band)
+    buckets = _cap_buckets(buckets, ["band_id", "band_val"], max_bucket)
     left = buckets.withColumnsRenamed({"doc_id": "doc_a", "band_val": "val"})
     right = buckets.withColumnsRenamed({"doc_id": "doc_b", "band_val": "val"})
     cands = (left.join(right, ["band_id", "val"])

@@ -54,6 +54,137 @@ def ensemble(scored_runs: dict[str, DataFrame],
     return out.select(*KEY, score.alias("score"))
 
 
+def hashed_linear_scorer(dim: int = 1 << 18, seed: int = 7,
+                         text_col: str = "passage_text") -> ScorerFn:
+    """CPU-real reranking scorer: a deterministic hashed-feature linear
+    model (the public 'hashing trick', Weinberger et al. 2009 / Vowpal
+    Wabbit). Features per (query, passage) pair:
+
+    * passage unigrams         ``crc32("p:" + tok) % dim``
+    * query unigrams           ``crc32("q:" + tok) % dim``
+    * query x passage crosses  ``crc32("x:" + qtok + "|" + ptok) % dim``
+
+    scored against a seed-pinned standard-normal weight vector. This is NOT
+    a trained model — it is the exact Spark-side plumbing (broadcast query
+    join -> Arrow-batched mapInPandas -> per-pair feature scoring) a real
+    ONNX/torch cross-encoder drops into (reference
+    ``src/neural_reranker.py:213-275``), with a scorer whose ordering is
+    deliberately uncorrelated with the lexical stand-ins so cascade tests
+    exercise real reordering. CRC32 is pinned (python's ``hash`` is
+    per-process salted and would break cross-worker determinism).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def fn(passages: DataFrame, queries: DataFrame) -> DataFrame:
+        joined = passages
+        has_query = queries is not None
+        if has_query:
+            q = queries.select("qid", F.col("text").alias("_qtext"))
+            joined = passages.join(F.broadcast(q), "qid", "left")
+
+        out_schema = T.StructType(
+            [passages.schema[c] for c in ("qid", "docid", "passage_idx")]
+            + [T.StructField("score", T.DoubleType())])
+
+        def kernel(iterator):
+            from zlib import crc32
+            w = (np.random.default_rng(seed)
+                 .standard_normal(dim).astype(np.float64))
+
+            def toks(s):
+                return [t for t in ("" if s is None else s).lower().split()
+                        if t]
+
+            for pdf in iterator:
+                qtexts = (pdf["_qtext"] if has_query
+                          else pd.Series([None] * len(pdf)))
+                scores = np.empty(len(pdf), dtype=np.float64)
+                for i, (qt, pt) in enumerate(zip(qtexts, pdf[text_col])):
+                    qs, ps = toks(qt), toks(pt)
+                    idxs = [crc32(b"p:" + t.encode()) % dim for t in ps]
+                    idxs += [crc32(b"q:" + t.encode()) % dim for t in qs]
+                    idxs += [crc32(b"x:%s|%s" % (a.encode(), b.encode()))
+                             % dim for a in qs for b in ps]
+                    scores[i] = w[idxs].sum() if idxs else 0.0
+                yield pd.DataFrame({
+                    "qid": pdf["qid"], "docid": pdf["docid"],
+                    "passage_idx": pdf["passage_idx"], "score": scores})
+
+        return joined.mapInPandas(kernel, schema=out_schema)
+
+    return fn
+
+
+def biencoder_scorer(dim: int = 256, seed: int = 11,
+                     text_col: str = "passage_text") -> ScorerFn:
+    """N1 bi-encoder SHAPE with a deterministic hashed encoder: each side is
+    encoded INDEPENDENTLY to a dense vector (hashed bag-of-words into `dim`
+    buckets, L2-normalized), score = dot(enc(q), enc(p)) — exactly the
+    reference's encode-separately-then-normalized-dot contract
+    (``src/neural_reranker.py:38-136``), with the encoder swappable for a
+    real sentence-transformer via the same mapInPandas slot. Unlike the
+    cross-encoder shape, query vectors are computed once per query, not per
+    pair."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def encode(texts, dim):
+        from zlib import crc32
+        out = np.zeros((len(texts), dim), dtype=np.float64)
+        for i, s in enumerate(texts):
+            for t in ("" if s is None else s).lower().split():
+                out[i, crc32(b"e:" + t.encode()) % dim] += 1.0
+        n = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, n, out=out, where=n > 0)
+        return out
+
+    def fn(passages: DataFrame, queries: DataFrame) -> DataFrame:
+        q = queries.select("qid", F.col("text").alias("_qtext"))
+        joined = passages.join(F.broadcast(q), "qid", "left")
+        out_schema = T.StructType(
+            [passages.schema[c] for c in ("qid", "docid", "passage_idx")]
+            + [T.StructField("score", T.DoubleType())])
+
+        def kernel(iterator):
+            for pdf in iterator:
+                # encode each UNIQUE query once (bi-encoder economics)
+                uq = pdf["_qtext"].fillna("").unique()
+                qv = dict(zip(uq, encode(list(uq), dim)))
+                pv = encode(list(pdf[text_col]), dim)
+                scores = np.array([
+                    float(pv[i] @ qv[qt])
+                    for i, qt in enumerate(pdf["_qtext"].fillna(""))])
+                yield pd.DataFrame({
+                    "qid": pdf["qid"], "docid": pdf["docid"],
+                    "passage_idx": pdf["passage_idx"], "score": scores})
+
+        return joined.mapInPandas(kernel, schema=out_schema)
+
+    return fn
+
+
+def monot5_scorer(dim: int = 1 << 16, seed: int = 13,
+                  text_col: str = "passage_text") -> ScorerFn:
+    """N4 MonoT5 SHAPE: the reference scores a pair as
+    ``P(true) / (P(true) + P(false))`` from the first decoded token's two
+    logits (``src/neural_reranker.py:278-392``) — algebraically the sigmoid
+    of the logit difference. Here the deterministic hashed-linear model
+    stands in for that logit difference; the softmax normalization, (0,1)
+    score range, and pairwise plumbing are the real operator contract a
+    T5 ONNX session would drop into."""
+    inner = hashed_linear_scorer(dim=dim, seed=seed, text_col=text_col)
+
+    def fn(passages: DataFrame, queries: DataFrame) -> DataFrame:
+        scored = inner(passages, queries)
+        return scored.withColumn(
+            "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))))
+
+    return fn
+
+
 def cascade(passages: DataFrame, queries: DataFrame,
             first_stage: ScorerFn, filter_k: int,
             later_stages: dict[str, ScorerFn],

@@ -101,13 +101,19 @@ class IndexConfig:
 # phase 1: docs table (url, docid, text, dl? no — text only) + docid ranks
 # --------------------------------------------------------------------------
 
-def assign_docids(pages: DataFrame, n_partitions: int | None = None) -> DataFrame:
+def assign_docids(pages: DataFrame, n_partitions: int | None = None,
+                  cache_registry: list | None = None) -> DataFrame:
     """Deterministic dense docid = global rank of url (0-based).
 
     Scalable two-phase zipWithIndex: range-partition + sort by url, count per
     partition, broadcast offsets, per-partition arange. Rank is
     parallelism-invariant; reference docids are external strings
     (``FBIS3-10082``-style) — ours map via the docmap table (SURVEY.md §1.2).
+
+    The range-partitioned projection is persisted for the two passes; pass
+    ``cache_registry`` to receive it for unpersisting once the output has
+    been materialized (a long-running append stream would otherwise leak one
+    cached DataFrame per micro-batch).
     """
     spark = pages.sparkSession
     n_parts = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
@@ -116,10 +122,22 @@ def assign_docids(pages: DataFrame, n_partitions: int | None = None) -> DataFram
         .sortWithinPartitions("url")
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(part)
+    # one JVM pass: per-partition counts for the rank offsets AND a
+    # distinct-count dup probe (equal urls land in one range partition, so
+    # per-partition distinct equals global distinct)
     counts = (
-        part.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid").count().collect()
+        part.select(F.spark_partition_id().alias("pid"), "url")
+        .groupBy("pid")
+        .agg(F.count("*").alias("count"),
+             F.countDistinct("url").alias("n_distinct"))
+        .collect()
     )
+    if any(r["count"] != r["n_distinct"] for r in counts):
+        raise ValueError(
+            "assign_docids requires unique urls — extract_docs dedupes "
+            "recrawls before ranking; pass deduped input here")
     by_pid = {r["pid"]: r["count"] for r in counts}
     offsets, acc = {}, 0
     for pid in sorted(by_pid):
@@ -142,7 +160,8 @@ def assign_docids(pages: DataFrame, n_partitions: int | None = None) -> DataFram
     return part.mapInPandas(attach, schema=out_schema)
 
 
-def extract_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
+def extract_docs(pages: DataFrame, cfg: IndexConfig,
+                 cache_registry: list | None = None) -> DataFrame:
     """Filter langs, (re)extract text byte-identically, assign docids.
 
     The rank-by-url sort runs on the URL PROJECTION only (a few percent of
@@ -153,14 +172,40 @@ def extract_docs(pages: DataFrame, cfg: IndexConfig) -> DataFrame:
     df = pages
     if cfg.langs:
         df = df.filter(F.col("lang").isin(list(cfg.langs)))
+    # Recrawl dedup (urls are NOT assumed unique — the pages schema carries
+    # warc_ts, so duplicate captures are expected at Common-Crawl scale; a
+    # many-to-many url join would inflate df/cf and duplicate docids).
+    # The dup probe rides FREE on assign_docids' counts pass: clean corpora
+    # (the common case) never pay the full-row dedup shuffle.
+    try:
+        docmap = assign_docids(df.select("url"), cfg.n_partitions,
+                               cache_registry=cache_registry)
+    except ValueError:
+        df = dedup_recrawls(df)
+        docmap = assign_docids(df.select("url"), cfg.n_partitions,
+                               cache_registry=cache_registry)
     if cfg.recompute_text:
         @F.pandas_udf("string")
         def _extract(html: pd.Series) -> pd.Series:
             return extract_text_series(html)
         df = df.withColumn("text", _extract(F.col("html")))
-    docmap = assign_docids(df.select("url"), cfg.n_partitions)
     return df.select("url", "text").join(docmap, "url").select(
         "docid", "url", "text")
+
+
+def dedup_recrawls(df: DataFrame) -> DataFrame:
+    """Keep ONE row per url: the latest warc_ts capture, ties broken by
+    content hash (deterministic at any parallelism)."""
+    from pyspark.sql import Window
+
+    order = []
+    if "warc_ts" in df.columns:
+        order.append(F.desc("warc_ts"))
+    tie_col = "html" if "html" in df.columns else "text"
+    order.append(F.asc(F.md5(F.col(tie_col).cast("binary"))))
+    w = Window.partitionBy("url").orderBy(*order)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
 
 
 # --------------------------------------------------------------------------
@@ -223,7 +268,8 @@ def explode_tokens(doc_tokens: DataFrame) -> DataFrame:
 # phase 3: postings chunks per (term, range)
 # --------------------------------------------------------------------------
 
-def build_postings(doc_tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
+def build_postings(doc_tokens: DataFrame, cfg: IndexConfig,
+                   _stop_after_runs: bool = False) -> DataFrame:
     """(term, range_id)-partitioned chunk encode: delta+varbyte payload +
     block-max metadata + per-block skip offsets. Max group size = range_size
     (the deterministic skew cap).
@@ -240,10 +286,8 @@ def build_postings(doc_tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
 
     def encode_run(term: str, range_id: int, docids, tfs, dls, out, t0):
         rs = int(range_id) * range_size
-        payload = codec.encode_postings(docids, tfs, dls, range_start=rs)
-        bl, btf, bdl = codec.block_max_meta(docids, tfs, dls, block=block)
-        go, to, do = codec.block_offsets(docids, tfs, dls, range_start=rs,
-                                         block=block)
+        payload, bl, btf, bdl, go, to, do = codec.encode_chunk(
+            docids, tfs, dls, range_start=rs, block=block)
         ctx = TaskContext.get()
         out.append((
             term, term_bucket(term, n_buckets), int(range_id),
@@ -255,9 +299,24 @@ def build_postings(doc_tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
             (time.perf_counter() - t0) * 1e3,
         ))
 
-    cols = [c.strip().split(" ")[0] for c in POSTINGS_SCHEMA.split(",")]
-    RUNS_SCHEMA = ("term string, range_id long, docids array<long>, "
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # offs = docid - range_id*range_size: int32 within-range offsets halve
+    # the docid bytes crossing the shuffle (range_size <= 2^22 << 2^31)
+    RUNS_SCHEMA = ("term string, range_id long, offs array<int>, "
                    "tfs array<int>, dls array<int>")
+    POSTINGS_PA_SCHEMA = pa.schema([
+        ("term", pa.string()), ("term_bucket", pa.int32()),
+        ("range_id", pa.int64()), ("df_chunk", pa.int64()),
+        ("cf_chunk", pa.int64()), ("payload", pa.binary()),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_min_dl", pa.list_(pa.int32())),
+        ("goff", pa.list_(pa.int32())), ("toff", pa.list_(pa.int32())),
+        ("doff", pa.list_(pa.int32())), ("build_partition", pa.int32()),
+        ("build_ms", pa.float64()),
+    ])
 
     # ---- map-side combine: per-input-partition partial posting runs -------
     # Instead of shuffling one row per token occurrence (tens of millions),
@@ -269,114 +328,244 @@ def build_postings(doc_tokens: DataFrame, cfg: IndexConfig) -> DataFrame:
                                    # per (term, range) are fine — the merge
                                    # side combines any number of them
 
-    def runs_kernel(iterator):
-        # flatten per-doc (terms[], tfs[]) arrays numpy-side — no JVM explode,
-        # no per-token Arrow rows (list arrays travel compactly)
-        t_parts, d_parts, tf_parts, dl_parts = [], [], [], []
+    def runs_kernel(batches):
+        import os as _os
+        _prof = _os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+        _t_start = time.perf_counter()
+        _t_flush = 0.0
+        _t_body = 0.0
+        # Arrow-native map side: term bytes NEVER materialize as Python
+        # strings (the old mapInPandas form built ~1 PyObject per token —
+        # the measured map-side wall at 10^8 tokens). Terms stay in Arrow
+        # buffers; dictionary_encode (C++ hash) replaces pd.factorize; the
+        # output list rows are ListArray.from_arrays over flat numpy — no
+        # per-row slices, no pandas.
+        t_chunks: list = []          # flat pa.StringArray chunks
+        tf_chunks: list = []         # flat pa.Int32Array chunks
+        d_parts: list = []           # numpy int64 (docid repeated per token)
+        dl_parts: list = []          # numpy int32
         buffered = 0
 
         def flush():
-            terms = np.concatenate(t_parts)
+            nonlocal buffered
+            terms_flat = (t_chunks[0] if len(t_chunks) == 1
+                          else pa.concat_arrays(t_chunks))
+            enc = pc.dictionary_encode(terms_flat)
+            vocab = enc.dictionary
+            codes = enc.indices.to_numpy().astype(np.int64)
             docids = np.concatenate(d_parts)
-            tf_a = np.concatenate(tf_parts)
             dl_a = np.concatenate(dl_parts)
-            t_parts.clear(), d_parts.clear(), tf_parts.clear(), dl_parts.clear()
-            ranges = docids // range_size
-            # runs need GROUPING only, not lexicographic term order — hash-
-            # factorize to int codes (O(n)) instead of lexsorting millions of
-            # object strings (the measured hot spot at 10^8 tokens)
-            codes, _ = pd.factorize(terms)
-            order = np.lexsort((docids, ranges, codes))
-            terms, docids = terms[order], docids[order]
-            tf_a, dl_a, ranges = tf_a[order], dl_a[order], ranges[order]
-            codes = codes[order]
+            tf_a = (tf_chunks[0] if len(tf_chunks) == 1
+                    else pa.concat_arrays(tf_chunks)).to_numpy()
+            t_chunks.clear(), tf_chunks.clear(), d_parts.clear(), dl_parts.clear()
+            buffered = 0
+            # single combined int64 sort key (code, docid) — sorting by
+            # docid within code also orders ranges; (term, docid) pairs are
+            # unique so no stability is needed. Falls back to lexsort if the
+            # key could overflow (10^12-doc corpora with huge flush vocabs).
+            span = int(docids.max()) + 1
+            if len(vocab) * span < (1 << 62):
+                order = np.argsort(codes.astype(np.int64) * span + docids)
+            else:
+                ranges0 = docids // range_size
+                order = np.lexsort((docids, ranges0, codes))
+            # ONE structured-record gather instead of five: every random
+            # gather touches a whole cache line per element, so permuting a
+            # packed 20-byte record costs ~1x line traffic where five
+            # separate fancy-indexes cost ~5x — the measured flush wall at
+            # 24 workers is memory-bound, not CPU-bound.
+            rng_a = (docids // range_size).astype(np.int32)
+            rec = np.empty(docids.size, dtype=[
+                ("c", "<i4"), ("r", "<i4"), ("o", "<i4"),
+                ("t", "<i4"), ("l", "<i4")])
+            rec["c"] = codes
+            rec["r"] = rng_a
+            rec["o"] = (docids - rng_a.astype(np.int64) * range_size
+                        ).astype(np.int32)
+            rec["t"] = tf_a
+            rec["l"] = dl_a
+            rec = rec[order]
+            codes_s, ranges_s = rec["c"], rec["r"]
             change = np.flatnonzero(
-                (codes[1:] != codes[:-1]) | (ranges[1:] != ranges[:-1])) + 1
-            bounds = np.concatenate(([0], change, [terms.size]))
-            rows = []
-            for gi in range(len(bounds) - 1):
-                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-                # numpy slices (views) — Arrow converts them directly; a
-                # .tolist() here would allocate ~10^7 PyObjects per task
-                rows.append((terms[lo], int(ranges[lo]),
-                             docids[lo:hi], tf_a[lo:hi], dl_a[lo:hi]))
-                if len(rows) >= 20000:
-                    yield pd.DataFrame(rows, columns=["term", "range_id",
-                                                      "docids", "tfs", "dls"])
-                    rows = []
-            if rows:
-                yield pd.DataFrame(rows, columns=["term", "range_id",
-                                                  "docids", "tfs", "dls"])
+                (codes_s[1:] != codes_s[:-1])
+                | (ranges_s[1:] != ranges_s[:-1])) + 1
+            bounds = np.concatenate(([0], change, [codes_s.size]))
+            starts = bounds[:-1]
+            group_terms = pc.take(vocab, pa.array(
+                np.ascontiguousarray(codes_s[starts]), type=pa.int32()))
+            group_ranges = pa.array(
+                ranges_s[starts].astype(np.int64), type=pa.int64())
+            offsets = pa.array(bounds.astype(np.int32), type=pa.int32())
+            yield pa.RecordBatch.from_arrays([
+                group_terms, group_ranges,
+                pa.ListArray.from_arrays(offsets, pa.array(
+                    np.ascontiguousarray(rec["o"]))),
+                pa.ListArray.from_arrays(offsets, pa.array(
+                    np.ascontiguousarray(rec["t"]))),
+                pa.ListArray.from_arrays(offsets, pa.array(
+                    np.ascontiguousarray(rec["l"]))),
+            ], names=["term", "range_id", "offs", "tfs", "dls"])
 
-        for pdf in iterator:
-            term_lists = pdf["terms"].to_numpy()
-            counts = np.fromiter((len(x) for x in term_lists),
-                                 dtype=np.int64, count=len(term_lists))
+        for batch in batches:
+            _t0 = time.perf_counter()
+            tl = batch.column(batch.schema.get_field_index("terms"))
+            counts = pc.list_value_length(tl).to_numpy(
+                zero_copy_only=False).astype(np.int64)
             n_tok = int(counts.sum())
             if n_tok == 0:
                 continue
-            d_parts.append(np.repeat(
-                pdf["docid"].to_numpy().astype(np.int64), counts))
-            dl_parts.append(np.repeat(
-                pdf["dl"].to_numpy().astype(np.int32), counts))
-            t_parts.append(np.concatenate(
-                [np.asarray(x, dtype=object) for x in term_lists if len(x)]))
-            tf_parts.append(np.concatenate(
-                [np.asarray(x, dtype=np.int32)
-                 for x in pdf["tfs"].to_numpy() if len(x)]))
+            docid_col = batch.column(
+                batch.schema.get_field_index("docid")).to_numpy()
+            dl_col = batch.column(
+                batch.schema.get_field_index("dl")).to_numpy()
+            d_parts.append(np.repeat(docid_col.astype(np.int64), counts))
+            dl_parts.append(np.repeat(dl_col.astype(np.int32), counts))
+            t_chunks.append(tl.flatten())
+            tf_chunks.append(batch.column(
+                batch.schema.get_field_index("tfs")).flatten())
             buffered += n_tok
+            _t_body += time.perf_counter() - _t0
             if buffered >= RUNS_FLUSH_TOKENS:
+                _t0 = time.perf_counter()
                 yield from flush()
-                buffered = 0
+                _t_flush += time.perf_counter() - _t0
         if d_parts:
+            _t0 = time.perf_counter()
             yield from flush()
+            _t_flush += time.perf_counter() - _t0
+        if _prof:
+            import sys as _sys
+            _sys.stderr.write(
+                f"RUNSPROF wall={time.perf_counter() - _t_start:.2f} "
+                f"body={_t_body:.2f} flush={_t_flush:.2f}\n")
 
     # ---- reduce side: sort-merge combine runs per (term, range) -----------
-    def merge_kernel(iterator):
-        held: pd.DataFrame | None = None
+    # Arrow-native: rows of one (term, range) group are ADJACENT after the
+    # in-task sort, so their flat list values are CONTIGUOUS in the Arrow
+    # values buffer — a group's postings are a zero-copy slice, no
+    # per-run concatenate, no pandas object columns.
+    def merge_kernel(batches):
+        import os as _os
+        _prof = _os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+        _t_start = time.perf_counter()
+        _t_body = 0.0
+        # held = (term, range_id, offs, tfs, dls, multi_run) carried tail
+        held: tuple | None = None
 
-        def emit_group(g: pd.DataFrame, out: list, t0: float):
-            docids = np.concatenate([np.asarray(x, dtype=np.int64)
-                                     for x in g["docids"]])
-            tfs = np.concatenate([np.asarray(x, dtype=np.int64)
-                                  for x in g["tfs"]])
-            dls = np.concatenate([np.asarray(x, dtype=np.int64)
-                                  for x in g["dls"]])
-            order = np.argsort(docids, kind="stable")
-            encode_run(g["term"].iloc[0], int(g["range_id"].iloc[0]),
-                       docids[order], tfs[order], dls[order], out, t0)
+        def emit_group(term, range_id, offs, tfs, dls, multi_run: bool,
+                       out: list, t0: float):
+            if multi_run:
+                order = np.argsort(offs, kind="stable")
+                offs, tfs, dls = offs[order], tfs[order], dls[order]
+            docids = offs.astype(np.int64)
+            docids += int(range_id) * range_size
+            encode_run(term, int(range_id), docids, tfs, dls, out, t0)
 
-        for pdf in iterator:
-            if held is not None:
-                pdf = pd.concat([held, pdf], ignore_index=True)
-            terms = pdf["term"].to_numpy()
-            ranges = pdf["range_id"].to_numpy()
+        def out_batch(out: list):
+            arrays = [pa.array(col, type=f.type)
+                      for col, f in zip(zip(*out), POSTINGS_PA_SCHEMA)]
+            return pa.RecordBatch.from_arrays(arrays,
+                                              schema=POSTINGS_PA_SCHEMA)
+
+        def flat(col):
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            lens = pc.list_value_length(col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            row_off = np.empty(lens.size + 1, dtype=np.int64)
+            row_off[0] = 0
+            np.cumsum(lens, out=row_off[1:])
+            return vals, row_off
+
+        for batch in batches:
+            _tb = time.perf_counter()
+            idx = batch.schema.get_field_index
+            terms = batch.column(idx("term")).to_numpy(zero_copy_only=False)
+            ranges = batch.column(idx("range_id")).to_numpy()
+            offs_f, row_off = flat(batch.column(idx("offs")))
+            tfs_f, _ = flat(batch.column(idx("tfs")))
+            dls_f, _ = flat(batch.column(idx("dls")))
+            n = terms.size
+            if n == 0:
+                continue
             change = np.flatnonzero(
                 (terms[1:] != terms[:-1]) | (ranges[1:] != ranges[:-1])) + 1
-            bounds = np.concatenate(([0], change, [len(pdf)]))
-            if len(bounds) >= 2:
-                held = pdf.iloc[bounds[-2]:].reset_index(drop=True)
-                bounds = bounds[:-1]
+            bounds = np.concatenate(([0], change, [n]))
             out: list = []
             t0 = time.perf_counter()
-            for gi in range(len(bounds) - 1):
-                emit_group(pdf.iloc[int(bounds[gi]):int(bounds[gi + 1])],
-                           out, t0)
+            # first group may continue the held tail from the previous batch
+            start_gi = 0
+            if held is not None:
+                h_term, h_range, h_offs, h_tfs, h_dls, _ = held
+                hi = int(bounds[1])
+                same = (terms[0] == h_term and int(ranges[0]) == int(h_range))
+                if same and len(bounds) == 2:
+                    # whole batch continues the held group
+                    held = (h_term, h_range,
+                            np.concatenate((h_offs, offs_f)),
+                            np.concatenate((h_tfs, tfs_f)),
+                            np.concatenate((h_dls, dls_f)), True)
+                    continue
+                if same:
+                    emit_group(h_term, h_range,
+                               np.concatenate((h_offs,
+                                               offs_f[:row_off[hi]])),
+                               np.concatenate((h_tfs, tfs_f[:row_off[hi]])),
+                               np.concatenate((h_dls, dls_f[:row_off[hi]])),
+                               True, out, t0)
+                    start_gi = 1
+                else:
+                    emit_group(h_term, h_range, h_offs, h_tfs, h_dls,
+                               held[5], out, t0)
+                held = None
                 t0 = time.perf_counter()
+            # hold back the last (possibly batch-spanning) group
+            lo_last = int(bounds[-2])
+            held = (terms[lo_last], int(ranges[lo_last]),
+                    np.array(offs_f[row_off[lo_last]:]),
+                    np.array(tfs_f[row_off[lo_last]:]),
+                    np.array(dls_f[row_off[lo_last]:]),
+                    n - lo_last > 1)
+            for gi in range(start_gi, len(bounds) - 2):
+                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+                emit_group(terms[lo], ranges[lo],
+                           offs_f[row_off[lo]:row_off[hi]],
+                           tfs_f[row_off[lo]:row_off[hi]],
+                           dls_f[row_off[lo]:row_off[hi]],
+                           hi - lo > 1, out, t0)
+                t0 = time.perf_counter()
+            _t_body += time.perf_counter() - _tb
             if out:
-                yield pd.DataFrame(out, columns=cols)
-        if held is not None and len(held):
+                yield out_batch(out)
+        if held is not None and held[2].size:
             out = []
-            emit_group(held, out, time.perf_counter())
-            yield pd.DataFrame(out, columns=cols)
+            emit_group(held[0], held[1], held[2], held[3], held[4], held[5],
+                       out, time.perf_counter())
+            yield out_batch(out)
+        if _prof:
+            import sys as _sys
+            _sys.stderr.write(
+                f"MERGEPROF wall={time.perf_counter() - _t_start:.2f} "
+                f"body={_t_body:.2f}\n")
 
     spark = doc_tokens.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    runs = doc_tokens.select("docid", "dl", "terms", "tfs").mapInPandas(
+    runs = doc_tokens.select("docid", "dl", "terms", "tfs").mapInArrow(
         runs_kernel, schema=RUNS_SCHEMA)
-    parted = (runs.repartition(n_shuffle, "term", "range_id")
-              .sortWithinPartitions("term", "range_id"))
-    return parted.mapInPandas(merge_kernel, schema=POSTINGS_SCHEMA)
+    if _stop_after_runs:
+        return runs
+    # Shuffle key is (term_bucket, range_id), NOT (term, range_id): bucket is
+    # a function of term, so a (term, range) group still lands whole in one
+    # task — and the output partitions are already bucket-aligned, so the
+    # final partitionBy("term_bucket") write needs NO second shuffle of the
+    # payload bytes. The JVM expression mirrors term_bucket() exactly.
+    bucket_col = F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
+        .cast("long"), F.lit(n_buckets)).cast("int")
+    parted = (runs.withColumn("term_bucket", bucket_col)
+              .repartition(n_shuffle, "term_bucket", "range_id")
+              .sortWithinPartitions("term", "range_id")
+              .drop("term_bucket"))
+    return parted.mapInArrow(merge_kernel, schema=POSTINGS_SCHEMA)
 
 
 def lineage_from_postings(postings: DataFrame) -> DataFrame:
@@ -419,7 +608,8 @@ def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
     phase_sec: dict[str, float] = {}
 
     if force or not catalog.has_table("doc_tokens", fp):
-        docs = extract_docs(pages, cfg)   # lineage: re-derivable, not stored
+        caches: list = []
+        docs = extract_docs(pages, cfg, cache_registry=caches)
         if cfg.materialize_docs:
             catalog.write_table(docs, "docs", fingerprint=fp)
             docs = catalog.read_table(spark, "docs")
@@ -435,13 +625,17 @@ def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
                            "doc_tokens", fp)
             f1.result(), f2.result()
         docs.unpersist()
+        for c in caches:
+            c.unpersist()
         phase_sec["tokenize"] = round(time.perf_counter() - t_start, 2)
     doc_tokens = catalog.read_table(spark, "doc_tokens")
 
     if force or not catalog.has_table("postings", fp):
         t_p = time.perf_counter()
+        # no repartition: build_postings already shuffled by (term_bucket,
+        # range_id), so the write is bucket-aligned without moving payloads
         catalog.write_table(
-            build_postings(doc_tokens, cfg).repartition("term_bucket"),
+            build_postings(doc_tokens, cfg),
             "postings", fingerprint=fp, partition_by=["term_bucket"])
         phase_sec["postings"] = round(time.perf_counter() - t_p, 2)
 

@@ -153,43 +153,105 @@ def _score_and_merge(reader: IndexReader, qt: DataFrame,
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))
 
-    def score_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        qid, range_id = key
-        base = int(range_id) * range_size
+    # Exhaustive scoring as a mapInArrow group-walk over rows sorted by
+    # (qid, range_id, term) — NOT applyInPandas, whose ~10 ms per-group
+    # pandas materialization dominates large query batches (500 q x ~15
+    # ranges = thousands of groups). The in-task sort also delivers the
+    # pinned lexicographic term summation order for free (terms are ASCII,
+    # so Spark's UTF8 binary sort == the oracle's python str order).
+    # The dense accumulators are allocated ONCE per task and reset by
+    # zeroing only the touched slots after each group.
+    def score_kernel_arrow(batches):
+        import pyarrow as pa
+
         acc = np.zeros(range_size, dtype=np.float64)
         hits = np.zeros(range_size, dtype=np.int32)
-        order = np.argsort(pdf["term"].to_numpy(), kind="stable")
-        for i in order:  # lexicographic term order => pinned float summation
-            payload = pdf["payload"].iloc[i]
-            docids, tfs, dls = codec.decode_postings(payload, range_start=base)
-            if docids.size == 0:
-                continue
-            df = float(pdf["df"].iloc[i])
-            w = float(pdf["weight"].iloc[i])
-            idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-            s = w * (idf * codec.bm25_tf_norm(tfs, dls, k1, b, avgdl))
-            loc = docids - base
-            acc[loc] += s
-            hits[loc] += 1
-        if mode == "and":
-            n_qterms = int(pdf["n_qterms"].iloc[0])
-            cand = np.flatnonzero(hits == n_qterms)
-        else:
-            cand = np.flatnonzero(hits)
-        scores = acc[cand]
-        if cand.size > k:
-            part = np.argpartition(-scores, k - 1)[:k]
-            cand, scores = cand[part], scores[part]
-        sel = np.lexsort((cand, -scores))
-        cand, scores = cand[sel], scores[sel]
-        return pd.DataFrame({
-            "qid": np.repeat(qid, cand.size),
-            "docid": (cand + base).astype(np.int64),
-            "score": scores,
-        })
+        cur = None            # (qid, range_id, n_qterms) of the open group
+        out_q: list = []
+        out_d: list = []
+        out_s: list = []
 
-    scored = matched.groupBy("qid", "range_id").applyInPandas(
-        score_kernel, schema=SCORED_SCHEMA)
+        def finish():
+            nonlocal cur
+            if cur is None:
+                return
+            qid, range_id, n_qterms = cur
+            base = int(range_id) * range_size
+            if mode == "and":
+                cand = np.flatnonzero(hits == n_qterms)
+            else:
+                cand = np.flatnonzero(hits)
+            scores = acc[cand]
+            # reset only touched slots (touched == hits > 0 slots)
+            nz = np.flatnonzero(hits)
+            acc[nz] = 0.0
+            hits[nz] = 0
+            cur = None
+            if cand.size > k:
+                # keep EVERY candidate tied at the k-th score: a bare
+                # argpartition[:k] drops ties arbitrarily and can evict a
+                # smaller-docid tie, breaking the pinned (score DESC,
+                # docid ASC) rank contract (mirrors bmw.py's >= theta trim)
+                part = np.argpartition(-scores, k - 1)
+                kth = scores[part[k - 1]]
+                keep = part[scores[part] >= kth]
+                cand, scores = cand[keep], scores[keep]
+            sel = np.lexsort((cand, -scores))
+            cand, scores = cand[sel], scores[sel]
+            if cand.size > k:
+                cand, scores = cand[:k], scores[:k]
+            if cand.size:
+                out_q.append(np.repeat(qid, cand.size))
+                out_d.append((cand + base).astype(np.int64))
+                out_s.append(scores)
+
+        def drain():
+            batch = pa.RecordBatch.from_arrays([
+                pa.array(np.concatenate(out_q), type=pa.string()),
+                pa.array(np.concatenate(out_d), type=pa.int64()),
+                pa.array(np.concatenate(out_s), type=pa.float64()),
+            ], names=["qid", "docid", "score"])
+            out_q.clear(), out_d.clear(), out_s.clear()
+            return batch
+
+        for batch in batches:
+            idx = batch.schema.get_field_index
+            qids = batch.column(idx("qid")).to_numpy(zero_copy_only=False)
+            rids = batch.column(idx("range_id")).to_numpy()
+            wgts = batch.column(idx("weight")).to_numpy()
+            dfs = batch.column(idx("df")).to_numpy()
+            nqs = batch.column(idx("n_qterms")).to_numpy()
+            payloads = batch.column(idx("payload"))
+            for i in range(len(qids)):
+                key = (qids[i], int(rids[i]), int(nqs[i]))
+                if cur is not None and cur != key:
+                    finish()
+                if cur is None:
+                    cur = key
+                base = int(rids[i]) * range_size
+                docids, tfs, dls = codec.decode_postings(
+                    payloads[i].as_buffer(), range_start=base)
+                if docids.size == 0:
+                    continue
+                idf = np.log(1.0 + (n_docs - float(dfs[i]) + 0.5)
+                             / (float(dfs[i]) + 0.5))
+                s = float(wgts[i]) * (
+                    idf * codec.bm25_tf_norm(tfs, dls, k1, b, avgdl))
+                loc = docids - base
+                acc[loc] += s
+                hits[loc] += 1
+            if out_q and sum(a.size for a in out_d) >= 500_000:
+                yield drain()
+        finish()
+        if out_q:
+            yield drain()
+
+    n_shuffle = int(matched.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    scored = (matched
+              .repartition(n_shuffle, "qid", "range_id")
+              .sortWithinPartitions("qid", "range_id", "term")
+              .mapInArrow(score_kernel_arrow, schema=SCORED_SCHEMA))
 
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
     return (

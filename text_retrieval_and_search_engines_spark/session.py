@@ -30,6 +30,12 @@ def get_spark(app_name: str = "text-retrieval-spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # docmap(docid,url) joins back to the corpus during the build; at
+        # <=10^7 docs it MUST broadcast (a sort-merge join re-shuffles the
+        # whole corpus text — measured as the tokenize phase's non-scaling
+        # wall). At 10^12 docs AQE sees the real size and falls back to SMJ.
+        .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -35,14 +35,33 @@ def format_run(run: DataFrame, run_name: str, max_docs: int = 1000) -> DataFrame
 
 def write_run(run: DataFrame, path: str, run_name: str,
               max_docs: int = 1000) -> None:
-    """Single TREC run file at `path` (driver collects — run files are <=
-    n_queries*1000 lines by construction, reference trec_io.py:51-77)."""
-    rows = (format_run(run, run_name, max_docs)
-            .orderBy("_qlen", "qid", "rank")
-            .select("value").collect())
-    with open(path, "w") as f:
-        for r in rows:
-            f.write(r["value"] + "\n")
+    """Single TREC run file at `path` (reference trec_io.py:51-77).
+
+    Streams through a sorted single-partition text write instead of
+    collecting to the driver: the sort/format work happens executor-side
+    and only file bytes move, so a 10^5-query run never materializes as
+    driver Row objects. Byte-identical output to the old collect loop
+    (golden-tested)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="trec_run_", dir=os.path.dirname(
+        os.path.abspath(path)) or ".")
+    try:
+        (format_run(run, run_name, max_docs)
+         .coalesce(1)
+         .sortWithinPartitions("_qlen", "qid", "rank")
+         .select("value")
+         .write.mode("overwrite").text(tmp))
+        parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+        with open(path, "wb") as out:
+            for p in parts:
+                with open(p, "rb") as src:
+                    shutil.copyfileobj(src, out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def read_run(spark, path: str) -> DataFrame:
