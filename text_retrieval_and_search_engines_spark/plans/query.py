@@ -167,12 +167,52 @@ def _score_and_merge(reader: IndexReader, qt: DataFrame,
         acc = np.zeros(range_size, dtype=np.float64)
         hits = np.zeros(range_size, dtype=np.int32)
         cur = None            # (qid, range_id, n_qterms) of the open group
+        # per-qid candidate buffers: all groups of one qid are CONTIGUOUS in
+        # the task (rows sorted by qid first), so the task emits ONE merged
+        # top-k per qid it holds instead of one per (qid, range) — ~ranges/
+        # partitions fewer rows into the global top-k exchange
+        qid_bufs: list = []   # [(docids, scores), ...] for buf_qid
+        buf_qid = None
         out_q: list = []
         out_d: list = []
         out_s: list = []
 
+        def trim(cand, scores, offset=0):
+            """Tie-safe local top-k in the pinned (score DESC, id ASC)
+            order; keeps every candidate tied at the k-th score before the
+            final truncate (a bare argpartition[:k] could evict a
+            smaller-docid tie — mirrors bmw.py's >= theta trim)."""
+            if cand.size > k:
+                part = np.argpartition(-scores, k - 1)
+                kth = scores[part[k - 1]]
+                keep = part[scores[part] >= kth]
+                cand, scores = cand[keep], scores[keep]
+            sel = np.lexsort((cand, -scores))
+            cand, scores = cand[sel], scores[sel]
+            if cand.size > k:
+                cand, scores = cand[:k], scores[:k]
+            return cand, scores
+
+        def flush_qid():
+            nonlocal buf_qid
+            if buf_qid is None or not qid_bufs:
+                buf_qid = None
+                return
+            if len(qid_bufs) == 1:
+                d, s = qid_bufs[0]
+            else:
+                d = np.concatenate([b[0] for b in qid_bufs])
+                s = np.concatenate([b[1] for b in qid_bufs])
+                d, s = trim(d, s)
+            qid_bufs.clear()
+            if d.size:
+                out_q.append(np.repeat(buf_qid, d.size))
+                out_d.append(d)
+                out_s.append(s)
+            buf_qid = None
+
         def finish():
-            nonlocal cur
+            nonlocal cur, buf_qid
             if cur is None:
                 return
             qid, range_id, n_qterms = cur
@@ -187,23 +227,12 @@ def _score_and_merge(reader: IndexReader, qt: DataFrame,
             acc[nz] = 0.0
             hits[nz] = 0
             cur = None
-            if cand.size > k:
-                # keep EVERY candidate tied at the k-th score: a bare
-                # argpartition[:k] drops ties arbitrarily and can evict a
-                # smaller-docid tie, breaking the pinned (score DESC,
-                # docid ASC) rank contract (mirrors bmw.py's >= theta trim)
-                part = np.argpartition(-scores, k - 1)
-                kth = scores[part[k - 1]]
-                keep = part[scores[part] >= kth]
-                cand, scores = cand[keep], scores[keep]
-            sel = np.lexsort((cand, -scores))
-            cand, scores = cand[sel], scores[sel]
-            if cand.size > k:
-                cand, scores = cand[:k], scores[:k]
+            cand, scores = trim(cand, scores)
+            if qid != buf_qid:
+                flush_qid()
             if cand.size:
-                out_q.append(np.repeat(qid, cand.size))
-                out_d.append((cand + base).astype(np.int64))
-                out_s.append(scores)
+                buf_qid = qid
+                qid_bufs.append(((cand + base).astype(np.int64), scores))
 
         def drain():
             batch = pa.RecordBatch.from_arrays([
@@ -243,6 +272,7 @@ def _score_and_merge(reader: IndexReader, qt: DataFrame,
             if out_q and sum(a.size for a in out_d) >= 500_000:
                 yield drain()
         finish()
+        flush_qid()
         if out_q:
             yield drain()
 
