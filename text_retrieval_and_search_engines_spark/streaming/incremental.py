@@ -77,11 +77,12 @@ def append_pages_batch(spark: SparkSession, batch: DataFrame,
     batch_agg = doc_tokens.agg(
         F.count("*").alias("n"), F.sum("dl").alias("dl")).collect()[0]
     n_new, dl_new = int(batch_agg["n"]), int(batch_agg["dl"] or 0)
-    # chunk stats of the batch are tiny (<= batch vocab x ranges); additive
-    # merge into the existing termstats table. `postings` here is the lazy
-    # batch-chunks plan (doc_tokens is persisted), NOT a rescan of the index.
-    batch_ts = postings.groupBy("term").agg(
-        F.sum("df_chunk").alias("df"), F.sum("cf_chunk").alias("cf"))
+    # batch term stats from the PERSISTED doc_tokens (one cheap aggregate;
+    # re-evaluating the lazy postings plan would run the whole chunk build
+    # a second time), merged additively into the existing termstats table
+    from ..plans.index_build import explode_tokens
+    batch_ts = (explode_tokens(doc_tokens).groupBy("term")
+                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
     old_ts = catalog.read_table(spark, "termstats")
     merged_ts = (old_ts.unionByName(batch_ts)
                  .groupBy("term")
