@@ -708,6 +708,71 @@ def q_simhash_neardup(spark, sf_dir):
     return dedup.simhash_neardup(fps, max_hamming=6)
 
 
+ANN_MP_PLANES = 8
+ANN_MP_SEED = 42
+ANN_MP_DIM = 64     # testdata embeddings dim
+
+
+def q_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN, oracle-gated end to end: sign-bucket assignment
+    (seeded hyperplanes), Hamming-radius-1 probe fan-out, bucket join,
+    cosine verify. Candidates ranked over 6dp-rounded cosine on BOTH sides
+    so float summation order can't flip a row (same convention as
+    ann_cosine_topk)."""
+    from .operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"), "embedding"))
+    # k=10^6: keep EVERY bucket-matched candidate; the pinned rounded
+    # re-rank below does the real top-5
+    cands = lsh_cosine_topk(emb, q, k=1_000_000, n_planes=ANN_MP_PLANES,
+                            seed=ANN_MP_SEED, n_probes=1)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (cands.select("qid", "nbr_id",
+                         F.round("cosine", 6).alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5))
+
+
+def _ann_multiprobe_sql(n_planes: int = ANN_MP_PLANES,
+                        seed: int = ANN_MP_SEED,
+                        dim: int = ANN_MP_DIM, k: int = 5) -> str:
+    """DuckDB twin: the SAME seeded hyperplanes as literal arrays."""
+    import numpy as np
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in planes[:, p])
+        + "]::DOUBLE[]) > 0 THEN " + str(1 << p) + " ELSE 0 END)"
+        for p in range(n_planes))
+    masks = [0] + [1 << i for i in range(n_planes)]
+    mask_list = ", ".join(f"xor(qb, {m}::BIGINT)" for m in masks)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket_terms})::BIGINT AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb,
+             sqrt(list_dot_product(v, v)) AS qn
+      FROM b WHERE vec_id < 5),
+probes AS (SELECT qid, qv, qn, unnest([{mask_list}]) AS pb FROM q),
+c AS (SELECT vec_id AS nbr_id, v AS cv, bucket AS cb,
+             sqrt(list_dot_product(v, v)) AS cn FROM b),
+scored AS (
+  SELECT p.qid, c.nbr_id,
+         round(list_dot_product(c.cv, p.qv) / (c.cn * p.qn), 6) AS cosine
+  FROM c JOIN probes p ON c.cb = p.pb),
+ranked AS (
+  SELECT qid, nbr_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nbr_id ASC)::INT AS rank
+  FROM scored)
+SELECT qid, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+ANN_MULTIPROBE_SQL = _ann_multiprobe_sql()
+
+
 # -------------------------------------------------------------------------
 # REAL distributed engine, oracle-gated: with the "simple" analyzer the
 # full index-build + compressed-postings + kernel-scoring path computes the
@@ -890,6 +955,7 @@ QUERY_FNS = {
     "engine_bmw_topk": q_engine_bmw,
     "rm3_topk": q_rm3_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_multiprobe": q_ann_multiprobe,
     "embedding_neardup": q_embedding_neardup,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
@@ -926,6 +992,7 @@ ORACLE_SQL = {
     "engine_bmw_topk": bm25.bm25_topk_sql(BM25_QUERIES, k=10),
     "rm3_topk": RM3_TOPK_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
+    "ann_multiprobe": ANN_MULTIPROBE_SQL,
     "embedding_neardup": EMB_NEARDUP_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,

@@ -41,27 +41,37 @@ def bmw_topk(pdf: pd.DataFrame, range_start: int, range_size: int,
     block_max_tf, block_min_dl, goff, toff, doff.
     """
     order = np.argsort(pdf["term"].to_numpy(), kind="stable")
+    rows = (pdf.iloc[list(order)].to_dict("records")
+            if len(pdf) else [])
+    return bmw_topk_rows(rows, range_start, n_docs, avgdl, k1, b, k, mode)
+
+
+def bmw_topk_rows(rows: list[dict], range_start: int,
+                  n_docs: float, avgdl: float, k1: float, b: float, k: int,
+                  mode: str = "or") -> tuple[np.ndarray, np.ndarray]:
+    """Core BMW kernel over row dicts ALREADY in lexicographic term order
+    (the mapInArrow query path sorts by (qid, range_id, term) in-task, so
+    no per-group argsort is needed there)."""
     terms = []
-    for i in order:
-        bl = np.asarray(pdf["block_last"].iloc[i], dtype=np.int64)
+    for r in rows:
+        bl = np.asarray(r["block_last"], dtype=np.int64)
         if bl.size == 0:
             continue
-        w = float(pdf["weight"].iloc[i])
-        df = float(pdf["df"].iloc[i])
+        w = float(r["weight"])
+        df = float(r["df"])
         idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        btf = np.asarray(pdf["block_max_tf"].iloc[i], dtype=np.int64)
-        bdl = np.asarray(pdf["block_min_dl"].iloc[i], dtype=np.int64)
+        btf = np.asarray(r["block_max_tf"], dtype=np.int64)
+        bdl = np.asarray(r["block_min_dl"], dtype=np.int64)
         ub = w * (idf * codec.bm25_tf_norm(btf, bdl, k1, b, avgdl))
         terms.append({
             "w": w, "idf": idf, "bl": bl, "ub": ub,
-            "payload": pdf["payload"].iloc[i],
-            "goff": pdf["goff"].iloc[i], "toff": pdf["toff"].iloc[i],
-            "doff": pdf["doff"].iloc[i],
+            "payload": r["payload"],
+            "goff": r["goff"], "toff": r["toff"], "doff": r["doff"],
             "cache": {},
         })
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    n_required = int(pdf["n_qterms"].iloc[0]) if mode == "and" else 0
+    n_required = int(rows[0]["n_qterms"]) if mode == "and" else 0
 
     # --- segment grid: union of block-last boundaries -----------------------
     edges = np.unique(np.concatenate([t["bl"] for t in terms]))

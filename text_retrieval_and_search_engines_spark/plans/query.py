@@ -138,17 +138,91 @@ def _score_and_merge(reader: IndexReader, qt: DataFrame,
              "payload", *extra)
 
     if params.algo == "bmw":
-        from .bmw import bmw_topk
+        from .bmw import bmw_topk_rows
 
-        def bmw_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            qid, range_id = key
-            d, s = bmw_topk(pdf, int(range_id) * range_size, range_size,
-                            n_docs, avgdl, k1, b, k, mode)
-            return pd.DataFrame({"qid": np.repeat(qid, d.size),
-                                 "docid": d, "score": s})
+        # Same mapInArrow group-walk shape as the exact path: rows sorted
+        # by (qid, range_id, term) in-task (no per-group argsort, no
+        # applyInPandas per-group materialization), one merged tie-safe
+        # top-k emitted per qid held by the task.
+        def bmw_kernel_arrow(batches):
+            import pyarrow as pa
 
-        scored = matched.groupBy("qid", "range_id").applyInPandas(
-            bmw_kernel, schema=SCORED_SCHEMA)
+            group_rows: list = []
+            cur = None             # (qid, range_id) of the open group
+            qid_bufs: list = []
+            buf_qid = None
+            out_q: list = []
+            out_d: list = []
+            out_s: list = []
+
+            def trim(cand, scores):
+                if cand.size > k:
+                    part = np.argpartition(-scores, k - 1)
+                    kth = scores[part[k - 1]]
+                    keep = part[scores[part] >= kth]
+                    cand, scores = cand[keep], scores[keep]
+                sel = np.lexsort((cand, -scores))
+                cand, scores = cand[sel], scores[sel]
+                if cand.size > k:
+                    cand, scores = cand[:k], scores[:k]
+                return cand, scores
+
+            def flush_qid():
+                nonlocal buf_qid
+                if buf_qid is None or not qid_bufs:
+                    buf_qid = None
+                    return
+                if len(qid_bufs) == 1:
+                    d, s = qid_bufs[0]
+                else:
+                    d = np.concatenate([x[0] for x in qid_bufs])
+                    s = np.concatenate([x[1] for x in qid_bufs])
+                    d, s = trim(d, s)
+                qid_bufs.clear()
+                if d.size:
+                    out_q.append(np.repeat(buf_qid, d.size))
+                    out_d.append(d)
+                    out_s.append(s)
+                buf_qid = None
+
+            def finish():
+                nonlocal cur, buf_qid
+                if cur is None:
+                    return
+                qid, range_id = cur
+                d, s = bmw_topk_rows(group_rows, int(range_id) * range_size,
+                                     n_docs, avgdl, k1, b, k, mode)
+                group_rows.clear()
+                cur = None
+                if qid != buf_qid:
+                    flush_qid()
+                if d.size:
+                    buf_qid = qid
+                    qid_bufs.append((d, s))
+
+            for batch in batches:
+                for r in batch.to_pylist():
+                    key = (r["qid"], int(r["range_id"]))
+                    if cur is not None and cur != key:
+                        finish()
+                    if cur is None:
+                        cur = key
+                    group_rows.append(r)
+            finish()
+            flush_qid()
+            if out_q:
+                yield pa.RecordBatch.from_arrays([
+                    pa.array(np.concatenate(out_q), type=pa.string()),
+                    pa.array(np.concatenate(out_d), type=pa.int64()),
+                    pa.array(np.concatenate(out_s), type=pa.float64()),
+                ], names=["qid", "docid", "score"])
+
+        n_shuffle = int(matched.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        scored = (matched
+                  .repartition(n_shuffle, "qid", "range_id")
+                  .sortWithinPartitions("qid", "range_id", "term")
+                  .mapInArrow(bmw_kernel_arrow, schema=SCORED_SCHEMA))
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))
