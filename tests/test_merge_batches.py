@@ -68,3 +68,54 @@ def test_group_spanning_batches_exact(spark, batch_rows):
             assert dl == dl_map[int(d)]
 
     assert got == truth_tf
+
+
+def test_head_term_skew_bounded_and_exact(spark):
+    """north_star skew contract: a pathological head term (50% of all
+    tokens) must split into chunks of <= range_size postings (the
+    deterministic docid-range salt), and scores must still match the
+    oracle exactly."""
+    from text_retrieval_and_search_engines_spark.oracle.bm25_oracle import (
+        OracleIndex)
+    from text_retrieval_and_search_engines_spark.plans.index_build import (
+        build_index)
+    from text_retrieval_and_search_engines_spark.plans.query import (
+        IndexReader, SearchParams, search_fast)
+    from text_retrieval_and_search_engines_spark.sources.tables import Catalog
+
+    rng = np.random.default_rng(13)
+    tail = [f"t{i}" for i in range(50)]
+    rows = []
+    for i in range(600):
+        toks = []
+        for _ in range(int(rng.integers(4, 16))):
+            toks.append("zz" if rng.random() < 0.5 else
+                        tail[int(rng.integers(0, 50))])
+        rows.append((f"u{i:05d}", " ".join(toks)))
+    pages = spark.createDataFrame(rows, "url string, text string")
+
+    import tempfile
+    cat = Catalog(tempfile.mkdtemp(prefix="skew_cat_"))
+    cfg = IndexConfig(range_size=64, block=16, analyzer="simple", langs=(),
+                      recompute_text=False, materialize_docs=False)
+    build_index(spark, pages, cat, cfg, input_fp="skew")
+    reader = IndexReader(spark, cat)
+
+    # the head term's postings are split into bounded chunks
+    head = (reader.postings.filter("term = 'zz'")
+            .select("range_id", "df_chunk").collect())
+    assert len(head) >= 5                      # actually split
+    assert all(r["df_chunk"] <= 64 for r in head)
+
+    # rank + score identity vs the oracle under the skewed distribution
+    ordered = sorted(rows)
+    oracle = OracleIndex.build(
+        [(i, t) for i, (_u, t) in enumerate(ordered)])
+    for qtext in ["zz", "zz t7 t13", "t3 t4"]:
+        got = search_fast(reader, [("q", qtext)],
+                          SearchParams(k=20)).collect()
+        exp = oracle.search(qtext, k=20, term_weights={
+            t: float(w) for t, w in
+            __import__("collections").Counter(qtext.split()).items()})
+        assert [(r["docid"], round(r["score"], 10)) for r in got] == \
+            [(d, round(s, 10)) for d, s in exp], qtext

@@ -196,3 +196,51 @@ def test_recrawl_dedup_keeps_latest(spark, tmp_path):
     got = search_fast(reader, [("q", "recrawl marker")],
                       SearchParams(k=10)).collect()
     assert len(got) == 5                 # only the 5 recrawled docs match
+
+
+def test_stream_multiple_microbatches(spark, tmp_path):
+    """Continuous-ingest shape: maxFilesPerTrigger=1 forces one append per
+    micro-batch; three files -> three appends, stats stay consistent."""
+    p1 = synth_pages(30, seed=61, vocab_size=150)
+    cat = Catalog(str(tmp_path / "cat6"))
+    build_index(spark, spark.createDataFrame(p1), cat, CFG, input_fp="m0")
+
+    inbox = str(tmp_path / "inbox6")
+    os.makedirs(inbox)
+    for j in range(3):
+        pj = synth_pages(10, seed=70 + j, vocab_size=150)
+        pj["url"] = pj["url"].str.replace("doc", f"mb{j}doc")
+        (spark.createDataFrame(pj).coalesce(1)
+         .write.parquet(f"{inbox}/f{j}.parquet", mode="overwrite"))
+
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, html binary, "
+                      "text string, lang string")
+              .option("maxFilesPerTrigger", 1).parquet(inbox + "/*"))
+    from text_retrieval_and_search_engines_spark.streaming.incremental import (
+        append_pages_batch)
+    batches = []
+
+    def sink(batch_df, epoch_id):
+        if not batch_df.isEmpty():
+            batches.append(
+                append_pages_batch(spark, batch_df, cat, CFG))
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt6"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    assert len(batches) == 3                       # one append per file
+    assert [b["appended_docs"] for b in batches] == [10, 10, 10]
+    bases = [b["base_docid"] for b in batches]
+    assert bases == sorted(bases) and len(set(bases)) == 3
+
+    reader = IndexReader(spark, cat)
+    assert reader.n_docs == 60
+    # running stats consistent with a full recompute
+    from pyspark.sql import functions as F
+    dl = (cat.read_table(spark, "doclens")
+          .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0])
+    assert int(dl["n"]) == 60
+    assert abs(reader.avgdl - float(dl["a"])) < 1e-9
