@@ -219,3 +219,42 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     nd_pairs = {(r["doc_a"], r["doc_b"]) for r in nd}
     assert not any(a < 100 and b < 100 for a, b in nd_pairs)
     assert (100, 101) in nd_pairs
+
+
+def test_ivf_cosine_topk_recall_and_determinism(spark):
+    """IVF scale path: train a deterministic spherical-kmeans quantizer as
+    DataFrame aggregates, probe n_probe cells, recall >= 0.9 on planted
+    clusters; two runs produce identical results at any parallelism."""
+    rng = np.random.default_rng(17)
+    rows, qrows = [], []
+    dim, vid = 12, 0
+    for qi in range(8):
+        center = rng.standard_normal(dim)
+        qrows.append((f"q{qi}", [float(x) for x in center]))
+        for _ in range(4):
+            v = center + rng.standard_normal(dim) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(40):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(qrows, "qid string, embedding array<double>")
+
+    exact = similarity.cosine_topk(emb, q, k=4).collect()
+    a1 = similarity.ivf_cosine_topk(emb, q, k=4, n_centroids=8, n_probe=3,
+                                    seed=7).collect()
+    a2 = similarity.ivf_cosine_topk(emb, q, k=4, n_centroids=8, n_probe=3,
+                                    seed=7).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    assert {key(r): r["nbr_id"] for r in a1} == \
+        {key(r): r["nbr_id"] for r in a2}          # deterministic
+
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["qid"], set()).add(r["nbr_id"])
+    for r in a1:
+        ap.setdefault(r["qid"], set()).add(r["nbr_id"])
+    hits = sum(len(ex[k0] & ap.get(k0, set())) for k0 in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.9

@@ -116,6 +116,126 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 16, seed: int = 42,
         kernel, schema=out_schema)
 
 
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16, seed: int = 42,
+                  iters: int = 3, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> np.ndarray:
+    """IVF coarse quantizer trained with Lloyd iterations as DataFrame
+    aggregates (spherical k-means: assign by max cosine, re-center by mean,
+    L2-normalize centers).
+
+    Deterministic at ANY parallelism: seeds are the `n_centroids` vectors
+    with the smallest md5(seed || id) — a global order, not a partition
+    sample. Each iteration is one broadcast-assign mapInPandas pass plus
+    one groupBy mean; centroids stay driver-side (n_centroids x dim is
+    tiny, the corpus never moves).
+    """
+    seeded = (emb.withColumn(
+        "_h", F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string"))))
+        .orderBy("_h").limit(n_centroids)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                .alias("v"))
+        .collect())
+    cents = np.array([r["v"] for r in seeded], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(iters):
+        assigned = _ivf_assign(emb, cents, id_col, vec_col)
+        sums = (assigned.join(emb.select(F.col(id_col).alias("vec_id"),
+                                         F.col(vec_col).alias("_v")),
+                              "vec_id")
+                .groupBy("centroid_id")
+                .agg(F.array(*[
+                    F.avg(F.col("_v").getItem(i)).alias(f"c{i}")
+                    for i in range(cents.shape[1])]).alias("mean"))
+                .collect())
+        new = cents.copy()
+        for r in sums:
+            v = np.asarray(r["mean"], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                new[int(r["centroid_id"])] = v / n
+        cents = new
+    return cents
+
+
+def _ivf_assign(emb: DataFrame, cents: np.ndarray, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, centroid_id): argmax cosine against broadcast centroids —
+    one vectorized Arrow pass, corpus-parallel."""
+    from pyspark.sql import types as T
+    c = cents  # closure-captured, broadcast with the task binary
+
+    def kernel(iterator):
+        for pdf in iterator:
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+            sims = (mat / norms) @ c.T
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "centroid_id": sims.argmax(axis=1).astype(np.int32)})
+
+    out_schema = T.StructType([
+        T.StructField("vec_id", emb.schema[id_col].dataType),
+        T.StructField("centroid_id", T.IntegerType())])
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("embedding")).mapInPandas(
+        kernel, schema=out_schema)
+
+
+def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    n_centroids: int = 16, n_probe: int = 2, seed: int = 42,
+                    iters: int = 3,
+                    centroids: np.ndarray | None = None) -> DataFrame:
+    """Approximate top-k via an IVF inverted-list probe: each query scores
+    only the corpus cells of its `n_probe` nearest centroids — the
+    classic IVF economics (probe fraction ~= n_probe / n_centroids of the
+    corpus). Pass `centroids` to reuse a trained quantizer; a corpus cell
+    assignment would be a materialized table in a real deployment."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_centroids, seed, iters)
+    cell = _ivf_assign(emb, centroids)
+    corpus = (emb.join(cell, "vec_id")
+              .withColumnRenamed("vec_id", "nbr_id"))
+
+    cq = centroids
+
+    def qcells_kernel(iterator):
+        for pdf in iterator:
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+            sims = (mat / norms) @ cq.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame({
+                "qid": pdf["qid"].repeat(n_probe).reset_index(drop=True),
+                "centroid_id": top.reshape(-1).astype(np.int32)})
+
+    from pyspark.sql import types as T
+    qc_schema = T.StructType([
+        T.StructField("qid", queries.schema["qid"].dataType),
+        T.StructField("centroid_id", T.IntegerType())])
+    qcells = queries.select("qid", "embedding").mapInPandas(
+        qcells_kernel, schema=qc_schema)
+
+    c = with_norm(corpus).select("nbr_id", "centroid_id",
+                                 F.col("_vec").alias("cv"),
+                                 F.col("_norm").alias("cn"))
+    qq = (with_norm(queries).select("qid", F.col("_vec").alias("qv"),
+                                    F.col("_norm").alias("qn"))
+          .join(qcells, "qid"))
+    scored = (
+        c.join(F.broadcast(qq), "centroid_id")
+        .withColumn("cosine", _dot(F.col("cv"), F.col("qv"))
+                    / (F.col("cn") * F.col("qn")))
+        .select("qid", "nbr_id", "cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def lsh_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                     n_planes: int = 8, seed: int = 42,
                     n_probes: int = 1) -> DataFrame:
