@@ -69,6 +69,32 @@ class IndexReader:
             if "n_term_buckets" in row.__fields__ else 0
         self.analyzer = (row["analyzer"]
                          if "analyzer" in row.__fields__ else "english")
+        # driver-side term->df memo (Lucene term-dictionary-cache analogue):
+        # absent terms cache as None so repeated OOV queries stay job-free.
+        # Snapshot semantics: tied to THIS reader — reopen the reader after
+        # an append, exactly like reopening a Lucene searcher.
+        self._df_cache: dict[str, int | None] = {}
+
+    _DF_CACHE_MAX = 1_000_000
+
+    def df_lookup(self, terms: list[str]) -> dict[str, int]:
+        """df for each term, serving repeats from the driver memo; ONE
+        Spark job for only the never-seen terms (zero jobs when warm)."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            if len(self._df_cache) + len(missing) > self._DF_CACHE_MAX:
+                self._df_cache.clear()
+            rows = (self.termstats.filter(F.col("term").isin(missing))
+                    .collect())
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t)
+        out = {}
+        for t in terms:
+            v = self._df_cache[t]
+            if v is not None:
+                out[t] = v
+        return out
 
     def cache(self) -> "IndexReader":
         """Pin postings + termstats in executor memory for repeated-query
@@ -404,8 +430,7 @@ def search_fast(reader: IndexReader, queries: list[tuple[str, str]],
     if not rows:
         return _empty_results(reader.spark)
     terms = sorted({t for _, t, _ in rows})
-    stats = reader.termstats.filter(F.col("term").isin(terms)).collect()
-    df_map = {r["term"]: int(r["df"]) for r in stats}
+    df_map = reader.df_lookup(terms)   # warm repeats: zero Spark jobs
     n_q = {}
     for qid, t, _ in rows:
         if t in df_map:
