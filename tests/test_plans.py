@@ -91,3 +91,20 @@ def test_window_group_limit_partial(spark, reader):
                                 "qid string, text string")
     plan = _plan(search(reader, qdf, SearchParams(k=5)))
     assert "WindowGroupLimit" in plan
+
+
+def test_build_postings_single_shuffle(spark, tiny_index):
+    """PLANS.md build claim: runs -> merge is ONE exchange, keyed by
+    (term_bucket, range_id), with both kernels as Arrow maps — no second
+    payload shuffle anywhere in the postings plan."""
+    from text_retrieval_and_search_engines_spark.plans.index_build import (
+        IndexConfig, build_postings)
+
+    _reader, _oracle, catalog, _en = tiny_index
+    doc_tokens = catalog.read_table(spark, "doc_tokens")
+    plan = _plan(build_postings(
+        doc_tokens, IndexConfig(range_size=64, block=16)))
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan
+    assert "term_bucket" in plan and "range_id" in plan
+    assert plan.count("MapInArrow") == 2, plan
