@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins. Keys absent here (e.g. simhash_neardup) are
-    non-SQL-expressible at reasonable cost -> rows-only check."""
+    """DuckDB twins — round 2: every queries() key has one (34/34),
+    including the real-engine entries (exact, BMW, two-pass RM3) and the
+    multi-probe LSH ANN path."""
     return dict(entry_queries.ORACLE_SQL)
