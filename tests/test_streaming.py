@@ -244,3 +244,43 @@ def test_stream_multiple_microbatches(spark, tmp_path):
           .agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0])
     assert int(dl["n"]) == 60
     assert abs(reader.avgdl - float(dl["a"])) < 1e-9
+
+
+def test_stateful_streaming_exact_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: only the FIRST document per content
+    hash survives, across micro-batch boundaries (keyed state persists)."""
+    import pandas as pd
+
+    from text_retrieval_and_search_engines_spark.streaming.dedup_stream import (
+        dedup_exact_stream)
+
+    inbox = str(tmp_path / "dedup_inbox")
+    os.makedirs(inbox)
+    # batch 0: A, B, B-again (within-batch dup)
+    b0 = pd.DataFrame({
+        "url": ["u1", "u2", "u3"],
+        "text": ["alpha document", "beta document", "Beta   DOCUMENT"]})
+    # batch 1: A-again (cross-batch dup), C
+    b1 = pd.DataFrame({
+        "url": ["u4", "u5"],
+        "text": ["ALPHA document", "gamma document"]})
+    spark.createDataFrame(b0).coalesce(1).write.parquet(f"{inbox}/b0.parquet")
+
+    out_dir = str(tmp_path / "dedup_out")
+    stream = (spark.readStream.schema("url string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(inbox + "/*"))
+    q = (dedup_exact_stream(stream).writeStream
+         .format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    spark.createDataFrame(b1).coalesce(1).write.parquet(f"{inbox}/b1.parquet")
+    q2 = (dedup_exact_stream(stream).writeStream
+          .format("parquet").option("path", out_dir)
+          .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    got = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    # u3 duplicates u2 within batch 0; u4 duplicates u1 across batches
+    assert got == {"u1", "u2", "u5"}
