@@ -284,3 +284,30 @@ def test_stateful_streaming_exact_dedup(spark, tmp_path):
     got = {r["url"] for r in spark.read.parquet(out_dir).collect()}
     # u3 duplicates u2 within batch 0; u4 duplicates u1 across batches
     assert got == {"u1", "u2", "u5"}
+
+
+def test_crawl_stats_stream_windows(spark, tmp_path):
+    """Watermarked windowed aggregation over event time (warc_ts)."""
+    from text_retrieval_and_search_engines_spark.streaming.dedup_stream import (
+        crawl_stats_stream)
+
+    p = synth_pages(40, seed=81, vocab_size=100)
+    inbox = str(tmp_path / "cs_inbox")
+    os.makedirs(inbox)
+    spark.createDataFrame(p).coalesce(1).write.parquet(f"{inbox}/a.parquet")
+
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, html binary, "
+                      "text string, lang string").parquet(inbox + "/*"))
+    q = (crawl_stats_stream(stream, window="1 day", watermark="2 days")
+         .writeStream.format("memory").queryName("crawlstats")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from crawlstats").collect()
+    # availableNow + watermark: windows strictly older than the watermark
+    # emit; totals must not exceed the input and langs must be real
+    assert sum(r["n_pages"] for r in rows) <= 40
+    assert all(r["n_pages"] > 0 for r in rows)
+    assert all(r["window_start"] < r["window_end"] for r in rows)
+    langs = {r["lang"] for r in rows}
+    assert langs <= set(p["lang"].unique())

@@ -66,3 +66,22 @@ def dedup_exact_stream(stream_df: DataFrame,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def crawl_stats_stream(stream_df: DataFrame, window: str = "1 hour",
+                       watermark: str = "2 hours",
+                       ts_col: str = "warc_ts") -> DataFrame:
+    """Ingest monitoring: pages/bytes per (event-time window, lang) with a
+    watermark bounding late-crawl state — the standard windowed-aggregation
+    shape for a continuous crawl feed. Late pages beyond the watermark are
+    dropped from the aggregate (state stays bounded); the append path
+    itself ingests them regardless.
+    """
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"), "lang")
+            .agg(F.count("*").alias("n_pages"),
+                 F.avg(F.length("text")).alias("avg_text_len"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "lang", "n_pages", "avg_text_len"))
