@@ -62,3 +62,27 @@ def test_kill_and_resume(spark, tmp_path, monkeypatch):
     s1 = cat_full.read_table(spark, "stats").collect()[0]
     s2 = cat_kill.read_table(spark, "stats").collect()[0]
     assert s1 == s2
+
+
+def test_empty_corpus_build_and_query(spark, tmp_path):
+    """A fully lang-filtered (empty) corpus must build a VALID empty index
+    — a zero-row partitionBy write leaves only _SUCCESS and schema
+    inference fails without the explicit-schema read path."""
+    from text_retrieval_and_search_engines_spark.plans.index_build import (
+        IndexConfig, build_index)
+    from text_retrieval_and_search_engines_spark.plans.query import (
+        IndexReader, SearchParams, search, search_fast)
+    from text_retrieval_and_search_engines_spark.sources.tables import Catalog
+
+    cat = Catalog(str(tmp_path / "empty_cat"))
+    empty = spark.createDataFrame([], "url string, text string")
+    cfg = IndexConfig(range_size=64, langs=(), recompute_text=False,
+                      materialize_docs=False)
+    info = build_index(spark, empty, cat, cfg, input_fp="empty")
+    assert info["n_docs"] == 0 and info["avgdl"] == 0.0
+    reader = IndexReader(spark, cat)
+    assert search_fast(reader, [("q", "anything")],
+                       SearchParams(k=5)).count() == 0
+    qdf = spark.createDataFrame([("q", "anything")],
+                                "qid string, text string")
+    assert search(reader, qdf, SearchParams(k=5)).count() == 0

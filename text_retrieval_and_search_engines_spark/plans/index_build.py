@@ -641,7 +641,8 @@ def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
 
     if force or not catalog.has_table("stats", fp):
         t_m = time.perf_counter()
-        postings = catalog.read_table(spark, "postings").persist()
+        postings = catalog.read_table(spark, "postings",
+                                      schema=POSTINGS_SCHEMA).persist()
         postings.count()
         termstats = postings.groupBy("term").agg(
             F.sum("df_chunk").alias("df"), F.sum("cf_chunk").alias("cf"))

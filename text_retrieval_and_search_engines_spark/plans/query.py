@@ -58,7 +58,9 @@ class IndexReader:
     def __init__(self, spark: SparkSession, catalog: Catalog):
         self.spark = spark
         self.catalog = catalog
-        self.postings = catalog.read_table(spark, "postings")
+        from .index_build import POSTINGS_SCHEMA
+        self.postings = catalog.read_table(spark, "postings",
+                                           schema=POSTINGS_SCHEMA)
         self.termstats = catalog.read_table(spark, "termstats")
         self.docmap = catalog.read_table(spark, "docmap")
         row = catalog.read_table(spark, "stats").collect()[0]

@@ -77,10 +77,17 @@ class Catalog:
             "committed_at": time.time(),
         })
 
-    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+    def read_table(self, spark: SparkSession, table: str,
+                   schema: str | None = None) -> DataFrame:
+        """`schema` (DDL string) makes the read robust to a VALID empty
+        table: a partitionBy write with zero rows leaves only _SUCCESS, and
+        schema inference fails on it (e.g. a fully lang-filtered corpus)."""
         if self.use_iceberg:
             return spark.read.format("iceberg").load(f"{self.iceberg_namespace}.{table}")
-        return spark.read.parquet(self.path(table))
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self.path(table))
 
     def has_table(self, table: str, fingerprint: str | None = None) -> bool:
         if self.snapshot_for(table, fingerprint) is None:

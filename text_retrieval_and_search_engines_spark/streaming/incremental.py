@@ -203,7 +203,8 @@ def compact_postings(spark: SparkSession, catalog: Catalog,
     from ..plans.index_build import POSTINGS_SCHEMA, term_bucket
 
     recover_postings(catalog)
-    postings = catalog.read_table(spark, "postings")
+    postings = catalog.read_table(spark, "postings",
+                                  schema=POSTINGS_SCHEMA)
     range_size, block, n_buckets = (cfg.range_size, cfg.block,
                                     cfg.n_term_buckets)
     col_names = [c.strip().split(" ")[0] for c in POSTINGS_SCHEMA.split(",")]
