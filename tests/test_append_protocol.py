@@ -1,0 +1,250 @@
+"""Round-3 append-protocol contracts (VERDICT r2 item 1 + ADVICE r2):
+
+* termstats appends per-batch DELTA rows merged on read — never an O(vocab)
+  rewrite per micro-batch (rows written == batch vocab; base files untouched);
+* the two-phase epoch protocol makes a foreachBatch replay of an applied
+  micro-batch a no-op (exactly-once appends under Structured Streaming
+  retry semantics);
+* a crash at ANY point of the move phase is recovered by recover_appends
+  (committed epochs complete; uncommitted staging is discarded);
+* recover_table heals an interrupted swap for any table, not just postings.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_retrieval_and_search_engines_spark.plans.index_build import (
+    IndexConfig, build_index)
+from text_retrieval_and_search_engines_spark.plans.query import (
+    IndexReader, SearchParams, search_fast)
+from text_retrieval_and_search_engines_spark.sources.pages import synth_pages
+from text_retrieval_and_search_engines_spark.sources.tables import Catalog
+from text_retrieval_and_search_engines_spark.streaming import incremental
+from text_retrieval_and_search_engines_spark.streaming.incremental import (
+    append_pages_batch, compact_postings, epoch_applied, read_termstats,
+    recover_appends, recover_table)
+
+CFG = IndexConfig(range_size=64, block=16, langs=(), recompute_text=False,
+                  materialize_docs=False)
+
+
+def _build(spark, tmp_path, n=40, seed=101):
+    p1 = synth_pages(n, seed=seed, vocab_size=150)
+    cat = Catalog(str(tmp_path / "cat"))
+    build_index(spark, spark.createDataFrame(p1), cat, CFG, input_fp="base")
+    return cat
+
+
+def _batch(spark, n, seed, prefix):
+    p = synth_pages(n, seed=seed, vocab_size=150)
+    p["url"] = p["url"].str.replace("doc", prefix)
+    return spark.createDataFrame(p)
+
+
+def test_append_is_o_batch_not_o_vocab(spark, tmp_path):
+    """The termstats append must write exactly the BATCH vocabulary as new
+    delta rows and leave every pre-existing termstats file untouched —
+    the O(vocab)-per-append rewrite from round 2 is gone."""
+    cat = _build(spark, tmp_path)
+    ts_dir = cat.path("termstats")
+    before_files = set(glob.glob(f"{ts_dir}/**/*.parquet", recursive=True))
+    before_mtimes = {f: os.path.getmtime(f) for f in before_files}
+    raw_before = spark.read.parquet(ts_dir).count()
+
+    batch = _batch(spark, 25, 102, "d1doc")
+    batch_vocab = (batch.select(F.explode(F.split(
+        F.lower("text"), r"[^a-z0-9]+")).alias("t"))
+        .filter("t <> ''").select("t").distinct().count())
+    append_pages_batch(spark, batch, cat, CFG)
+
+    after_files = set(glob.glob(f"{ts_dir}/**/*.parquet", recursive=True))
+    # base files untouched (same names, same mtimes) — no rewrite
+    assert before_files <= after_files
+    for f in before_files:
+        assert os.path.getmtime(f) == before_mtimes[f]
+    # raw rows grew by exactly the batch vocab (delta rows, merge-on-read)
+    raw_after = spark.read.parquet(ts_dir).count()
+    new_terms = (spark.read.parquet(ts_dir).groupBy("term").count()
+                 .filter("count > 1").count())
+    assert raw_after - raw_before <= batch_vocab
+    assert raw_after - raw_before >= new_terms  # sanity: deltas overlap base
+
+    # merged view == full recompute from postings chunk stats
+    reader = IndexReader(spark, cat)
+    full = (reader.postings.groupBy("term")
+            .agg(F.sum("df_chunk").alias("df0"),
+                 F.sum("cf_chunk").alias("cf0")))
+    diff = (full.join(reader.termstats, "term", "full")
+            .filter(F.col("df0").isNull() | F.col("df").isNull()
+                    | (F.col("df0") != F.col("df"))
+                    | (F.col("cf0") != F.col("cf"))).count())
+    assert diff == 0
+
+
+def test_epoch_replay_is_noop(spark, tmp_path):
+    """Replaying an applied epoch (Structured Streaming micro-batch retry)
+    must not double-append documents or double-count stats."""
+    cat = _build(spark, tmp_path)
+    batch = _batch(spark, 20, 103, "epdoc")
+
+    info1 = append_pages_batch(spark, batch, cat, CFG, epoch_tag="ck1e0")
+    assert info1["appended_docs"] == 20
+    assert epoch_applied(cat, "ck1e0")
+    n_docs_1 = IndexReader(spark, cat).n_docs
+
+    info2 = append_pages_batch(spark, batch, cat, CFG, epoch_tag="ck1e0")
+    assert info2.get("skipped") is True
+    reader = IndexReader(spark, cat)
+    assert reader.n_docs == n_docs_1
+    assert cat.read_table(spark, "docmap").count() == n_docs_1
+    # df/cf did not double-count
+    full = (reader.postings.groupBy("term")
+            .agg(F.sum("df_chunk").alias("df0")))
+    diff = (full.join(reader.termstats, "term", "full")
+            .filter(F.col("df0") != F.col("df")).count())
+    assert diff == 0
+
+
+def test_crash_mid_move_recovers(spark, tmp_path, monkeypatch):
+    """Crash between commit marker and move completion: recover_appends
+    finishes publishing the staged files; the result equals a clean append."""
+    cat = _build(spark, tmp_path)
+    batch = _batch(spark, 15, 104, "crdoc")
+
+    moved = []
+    real_move = incremental._move_parquet_files
+
+    def crashing_move(stage_dir, live_dir, tag):
+        if len(moved) == 1:          # second table triggers the crash
+            raise RuntimeError("simulated crash mid-move")
+        moved.append(stage_dir)
+        real_move(stage_dir, live_dir, tag)
+
+    monkeypatch.setattr(incremental, "_move_parquet_files", crashing_move)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        append_pages_batch(spark, batch, cat, CFG, epoch_tag="ck2e0")
+    monkeypatch.setattr(incremental, "_move_parquet_files", real_move)
+    assert not epoch_applied(cat, "ck2e0")
+
+    assert recover_appends(cat) is True
+    assert epoch_applied(cat, "ck2e0")
+    reader = IndexReader(spark, cat)
+    assert reader.n_docs == 55
+    # replay after recovery is still a no-op
+    info = append_pages_batch(spark, batch, cat, CFG, epoch_tag="ck2e0")
+    assert info.get("skipped") is True
+    assert IndexReader(spark, cat).n_docs == 55
+    # index is queryable and consistent
+    got = search_fast(reader, [("q", "spark index data")],
+                      SearchParams(k=5)).collect()
+    assert len(got) <= 5
+
+
+def test_abandoned_staging_is_cleared(spark, tmp_path):
+    """Staging dirs without a commit marker (crash during the stage phase)
+    are discarded by recovery — the epoch will be fully redone."""
+    cat = _build(spark, tmp_path)
+    stale = cat.path("docmap__stage_deadbeef")
+    os.makedirs(stale)
+    assert recover_appends(cat) is True
+    assert not os.path.exists(stale)
+    # live tables untouched
+    assert IndexReader(spark, cat).n_docs == 40
+
+
+def test_compact_folds_termstats_deltas(spark, tmp_path):
+    """After compaction termstats is back to ONE base row per term (no
+    deltas), merge-on-read turns itself off, and query results are
+    unchanged."""
+    cat = _build(spark, tmp_path)
+    append_pages_batch(spark, _batch(spark, 20, 105, "cmdoc"), cat, CFG)
+    reader = IndexReader(spark, cat)
+    before = search_fast(reader, [("q", "spark index data")],
+                         SearchParams(k=10)).collect()
+    assert (cat.latest_fingerprint("termstats") or "").startswith(
+        "append-delta")
+
+    compact_postings(spark, cat, CFG)
+    assert cat.latest_fingerprint("termstats") == "compact"
+    raw = spark.read.parquet(cat.path("termstats"))
+    assert raw.groupBy("term").count().filter("count > 1").count() == 0
+    # merge-on-read is now a plain scan (no aggregate needed) but still equal
+    reader2 = IndexReader(spark, cat)
+    after = search_fast(reader2, [("q", "spark index data")],
+                        SearchParams(k=10)).collect()
+    assert [(r["docid"], round(r["score"], 10)) for r in after] == \
+        [(r["docid"], round(r["score"], 10)) for r in before]
+
+
+def test_recover_table_generalizes(spark, tmp_path):
+    """ADVICE r2: a crash between the two renames of a termstats/stats swap
+    must be recoverable — recover_table covers any table with an __old
+    sibling, and IndexReader heals on open."""
+    cat = _build(spark, tmp_path)
+    for table in ("termstats", "stats"):
+        final = cat.path(table)
+        shutil.move(final, final + "__old")
+        assert not os.path.exists(final)
+        assert recover_table(cat, table) is True
+        assert os.path.exists(final)
+        assert recover_table(cat, table) is False   # healthy -> no-op
+    # IndexReader open also self-heals
+    shutil.move(cat.path("termstats"), cat.path("termstats") + "__old")
+    reader = IndexReader(spark, cat)
+    assert reader.termstats.count() > 0
+
+
+def test_compact_passthrough_is_byte_identical(spark, tmp_path):
+    """Single-chunk (term, range) groups — the vast majority after a batch
+    build — must pass through compaction byte-identically (zero-copy Arrow
+    path, no decode/encode round-trip)."""
+    cat = _build(spark, tmp_path)
+    append_pages_batch(spark, _batch(spark, 20, 106, "ptdoc"), cat, CFG)
+    rows = cat.read_table(spark, "postings").collect()
+    pre = {(r["term"], r["range_id"]): bytes(r["payload"]) for r in rows}
+    # keys with exactly one chunk before compaction must keep their payload
+    from collections import Counter
+    counts = Counter((r["term"], r["range_id"]) for r in rows)
+    singles = {k for k, c in counts.items() if c == 1}
+    assert singles, "fixture must contain single-chunk groups"
+    compact_postings(spark, cat, CFG)
+    post = {(r["term"], r["range_id"]): bytes(r["payload"])
+            for r in cat.read_table(spark, "postings").collect()}
+    for k in singles:
+        assert post[k] == pre[k], f"passthrough changed payload for {k}"
+
+
+def test_streaming_dedup_winner_deterministic(spark, tmp_path):
+    """ADVICE r2: among same-batch duplicates the surviving row is the
+    minimum (warc_ts, url) — not an arbitrary arrival-order artifact."""
+    import pandas as pd
+
+    from text_retrieval_and_search_engines_spark.streaming.dedup_stream import (
+        dedup_exact_stream)
+
+    inbox = str(tmp_path / "win_inbox")
+    os.makedirs(inbox)
+    ts = pd.Timestamp("2026-01-01")
+    b0 = pd.DataFrame({
+        "url": ["z-late", "a-early", "m-mid"],
+        "warc_ts": [ts, ts, ts],
+        "text": ["same content", "Same   CONTENT", "SAME content"]})
+    spark.createDataFrame(b0).coalesce(1).write.parquet(f"{inbox}/b0.parquet")
+    out_dir = str(tmp_path / "win_out")
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, text string")
+              .parquet(inbox + "/*"))
+    q = (dedup_exact_stream(stream).writeStream
+         .format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1
+    assert got[0]["url"] == "a-early"

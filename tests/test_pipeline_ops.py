@@ -221,6 +221,37 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     assert (100, 101) in nd_pairs
 
 
+def test_lsh_bucket_cap_defaults_on_and_reports_drops(spark):
+    """VERDICT r2 item 5: the cap is on by default (scale profile) and the
+    dropped volume is counted, not silently swallowed."""
+    assert dedup.DEFAULT_MAX_BUCKET > 0
+    rows = [(i, "lorem ipsum dolor sit amet " * 5) for i in range(50)]
+    rows += [(100, "a genuinely unique document about spark engines"),
+             (101, "a genuinely unique document about spark engine")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures(dedup.char_shingles(docs))
+
+    report: dict = {}
+    pairs = dedup.minhash_lsh_pairs(sig, max_bucket=10,
+                                    drop_report=report).collect()
+    assert report["max_bucket"] == 10
+    assert report["dropped_buckets"] >= 1          # the 50-doc mega-bucket
+    assert report["dropped_rows"] >= 50
+    assert (100, 101) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+
+    # below the default cap nothing is dropped and the report says so
+    report2: dict = {}
+    dedup.minhash_lsh_pairs(sig, drop_report=report2).collect()
+    assert report2["max_bucket"] == dedup.DEFAULT_MAX_BUCKET
+    assert report2["dropped_buckets"] == 0
+    assert report2["dropped_rows"] == 0
+
+    report3: dict = {}
+    dedup.simhash_neardup(dedup.simhash(docs), max_hamming=8, max_bucket=10,
+                          drop_report=report3).collect()
+    assert report3["dropped_buckets"] >= 1
+
+
 def test_ivf_cosine_topk_recall_and_determinism(spark):
     """IVF scale path: train a deterministic spherical-kmeans quantizer as
     DataFrame aggregates, probe n_probe cells, recall >= 0.9 on planted

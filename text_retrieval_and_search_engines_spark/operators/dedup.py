@@ -33,6 +33,15 @@ SHINGLE_K = 5
 MINHASH_N = 8
 LSH_BANDS = 4  # rows per band = MINHASH_N / LSH_BANDS
 
+# Scale-profile default for band-bucket cardinality caps (VERDICT r2 item 5:
+# caps defaulting to off meant nothing guarded the degenerate-bucket
+# quadratic join unless callers opted in). A 10k-member bucket already means
+# ~5*10^7 candidate pairs from ONE bucket; beyond that the bucket is
+# boilerplate/empty-doc noise that exact dedup handles better. Pass
+# max_bucket=0 to disable (e.g. tiny oracle corpora where the cap can never
+# trigger anyway).
+DEFAULT_MAX_BUCKET = 10_000
+
 
 def h64(col, seed: str):
     """Deterministic 60-bit hash as bigint — md5-based, SQL-twinnable."""
@@ -91,26 +100,44 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = MINHASH_N
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def _cap_buckets(buckets: DataFrame, keys: list[str],
-                 max_bucket: int) -> DataFrame:
+def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int,
+                 drop_report: dict | None = None) -> DataFrame:
     """Drop band buckets larger than `max_bucket` members: a degenerate
     bucket (boilerplate / empty docs) makes the self-join quadratic WITHIN
     the bucket at web scale. Oversized buckets are near-useless for near-dup
     anyway (everything matches everything); exact-dedup catches the
-    byte-identical core. Off when max_bucket <= 0."""
+    byte-identical core. Off when max_bucket <= 0.
+
+    When `drop_report` is given, the dropped volume is COUNTED and surfaced
+    (one extra aggregate over the already-computed bucket counts): silent
+    truncation reads as full coverage when it is not."""
     if max_bucket <= 0:
+        if drop_report is not None:
+            drop_report.update(dropped_buckets=0, dropped_rows=0,
+                               max_bucket=0)
         return buckets
-    ok = (buckets.groupBy(*keys).count()
-          .filter(F.col("count") <= max_bucket).drop("count"))
+    sizes = buckets.groupBy(*keys).count()
+    if drop_report is not None:
+        over = (sizes.filter(F.col("count") > max_bucket)
+                .agg(F.count("*").alias("b"),
+                     F.coalesce(F.sum("count"), F.lit(0)).alias("r"))
+                .collect()[0])
+        drop_report.update(dropped_buckets=int(over["b"]),
+                           dropped_rows=int(over["r"]),
+                           max_bucket=max_bucket)
+    ok = sizes.filter(F.col("count") <= max_bucket).drop("count")
     return buckets.join(ok, keys, "left_semi")
 
 
 def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
                       bands: int = LSH_BANDS,
-                      max_bucket: int = 0) -> DataFrame:
+                      max_bucket: int = DEFAULT_MAX_BUCKET,
+                      drop_report: dict | None = None) -> DataFrame:
     """Banded LSH: docs sharing any band bucket -> candidate pairs (a < b).
-    `max_bucket` caps bucket cardinality (see _cap_buckets) — set it at
-    web scale (e.g. 10_000) to bound the within-bucket quadratic join."""
+    `max_bucket` caps bucket cardinality (see _cap_buckets; defaults to the
+    scale profile's DEFAULT_MAX_BUCKET so the within-bucket quadratic join
+    is bounded WITHOUT opt-in); pass `drop_report={}` to receive
+    dropped_buckets/dropped_rows counts."""
     rows_per_band = n_hashes // bands
     per_band = []
     for b in range(bands):
@@ -120,7 +147,8 @@ def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
         per_band.append(signatures.select(
             "doc_id", F.lit(b).alias("band_id"), key))
     buckets = reduce(lambda a, c: a.unionByName(c), per_band)
-    buckets = _cap_buckets(buckets, ["band_id", "band_key"], max_bucket)
+    buckets = _cap_buckets(buckets, ["band_id", "band_key"], max_bucket,
+                           drop_report)
     left = buckets.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     right = buckets.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     return (
@@ -179,10 +207,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_neardup(fps: DataFrame, max_hamming: int = 3, bits: int = 32,
-                    bands: int = 4, max_bucket: int = 0) -> DataFrame:
+                    bands: int = 4, max_bucket: int = DEFAULT_MAX_BUCKET,
+                    drop_report: dict | None = None) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming, found via
     band buckets (a pair within radius r < bands shares >= 1 exact band).
-    `max_bucket` caps bucket cardinality at web scale (see _cap_buckets)."""
+    `max_bucket` caps bucket cardinality (scale-profile default on; see
+    _cap_buckets); `drop_report={}` receives the dropped volume."""
     width = bits // bands
     mask = (1 << width) - 1
     per_band = [
@@ -193,7 +223,8 @@ def simhash_neardup(fps: DataFrame, max_hamming: int = 3, bits: int = 32,
         for b in range(bands)
     ]
     buckets = reduce(lambda a, c: a.unionByName(c), per_band)
-    buckets = _cap_buckets(buckets, ["band_id", "band_val"], max_bucket)
+    buckets = _cap_buckets(buckets, ["band_id", "band_val"], max_bucket,
+                           drop_report)
     left = buckets.withColumnsRenamed({"doc_id": "doc_a", "band_val": "val"})
     right = buckets.withColumnsRenamed({"doc_id": "doc_b", "band_val": "val"})
     cands = (left.join(right, ["band_id", "val"])

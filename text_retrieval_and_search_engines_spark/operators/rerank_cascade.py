@@ -126,17 +126,21 @@ def biencoder_scorer(dim: int = 256, seed: int = 11,
     (``src/neural_reranker.py:38-136``), with the encoder swappable for a
     real sentence-transformer via the same mapInPandas slot. Unlike the
     cross-encoder shape, query vectors are computed once per query, not per
-    pair."""
+    pair. `seed` salts the hash prefix so two scorers with different seeds
+    produce independent feature spaces (same semantics as the sibling
+    scorers' seed-pinned weights)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    prefix = b"e%d:" % seed
 
     def encode(texts, dim):
         from zlib import crc32
         out = np.zeros((len(texts), dim), dtype=np.float64)
         for i, s in enumerate(texts):
             for t in ("" if s is None else s).lower().split():
-                out[i, crc32(b"e:" + t.encode()) % dim] += 1.0
+                out[i, crc32(prefix + t.encode()) % dim] += 1.0
         n = np.linalg.norm(out, axis=1, keepdims=True)
         np.divide(out, n, out=out, where=n > 0)
         return out

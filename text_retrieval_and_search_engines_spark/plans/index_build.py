@@ -283,6 +283,14 @@ def build_postings(doc_tokens: DataFrame, cfg: IndexConfig,
     range_size = cfg.range_size
     block = cfg.block
     n_buckets = cfg.n_term_buckets
+    # within-range offsets cross the shuffle as int32 (RUNS_SCHEMA) — a
+    # range_size beyond 2^31 would silently truncate them (ADVICE r2). The
+    # documented tuning ceiling is 2^22 (10^12-doc corpora); fail loudly
+    # well before the representable bound.
+    if range_size >= 1 << 31:
+        raise ValueError(
+            f"IndexConfig.range_size={range_size} exceeds the int32 "
+            "within-range offset bound (2^31); the tuned ceiling is 2^22")
 
     def encode_run(term: str, range_id: int, docids, tfs, dls, out, t0):
         rs = int(range_id) * range_size

@@ -61,7 +61,12 @@ class IndexReader:
         from .index_build import POSTINGS_SCHEMA
         self.postings = catalog.read_table(spark, "postings",
                                            schema=POSTINGS_SCHEMA)
-        self.termstats = catalog.read_table(spark, "termstats")
+        # merge-on-read: appended termstats delta rows aggregate lazily;
+        # a purely batch-built index reads the base table with no extra agg
+        from ..streaming.incremental import read_termstats, recover_table
+        for t in ("stats", "termstats"):
+            recover_table(catalog, t)   # heal an interrupted swap on open
+        self.termstats = read_termstats(spark, catalog)
         self.docmap = catalog.read_table(spark, "docmap")
         row = catalog.read_table(spark, "stats").collect()[0]
         self.n_docs = int(row["n_docs"])

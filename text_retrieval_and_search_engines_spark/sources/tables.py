@@ -89,6 +89,13 @@ class Catalog:
             reader = reader.schema(schema)
         return reader.parquet(self.path(table))
 
+    def latest_fingerprint(self, table: str) -> str | None:
+        """Fingerprint of the most recent snapshot committed for `table`
+        (readers use this to decide e.g. whether termstats delta rows exist
+        and need merge-on-read)."""
+        s = self.snapshot_for(table)
+        return None if s is None else s.get("fingerprint")
+
     def has_table(self, table: str, fingerprint: str | None = None) -> bool:
         if self.snapshot_for(table, fingerprint) is None:
             return False

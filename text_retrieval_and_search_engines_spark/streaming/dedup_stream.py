@@ -43,21 +43,36 @@ def dedup_exact_stream(stream_df: DataFrame,
 
     State: one long per distinct hash, partitioned by the state store —
     memory scales with distinct content across the cluster, never with
-    stream length on one node. Within a single micro-batch, the first row
-    in arrival order wins (pinned).
+    stream length on one node. Within a single micro-batch the surviving
+    representative is DETERMINISTIC: the minimum (warc_ts, url) row among
+    the batch's duplicates (row order inside an applyInPandasWithState
+    group is not a Spark contract, so "first in arrival order" would vary
+    across reruns — ADVICE r2).
     """
     hashed = with_text_hash(stream_df, text_col)
     out_schema = hashed.schema
+    sort_cols = [c for c in ("warc_ts", "url") if c in hashed.columns]
 
     def dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState
                  ) -> Iterator[pd.DataFrame]:
         (n_seen,) = state.get if state.exists else (0,)
+        first_seen = n_seen == 0
+        best: pd.DataFrame | None = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            if n_seen == 0:
-                yield pdf.iloc[:1]
             n_seen += len(pdf)
+            if not first_seen:
+                continue
+            cand = (pdf.sort_values(sort_cols, kind="stable").iloc[:1]
+                    if sort_cols else pdf.iloc[:1])
+            if best is None:
+                best = cand
+            elif sort_cols:
+                best = (pd.concat([best, cand])
+                        .sort_values(sort_cols, kind="stable").iloc[:1])
+        if best is not None:
+            yield best
         state.update((n_seen,))
 
     return (hashed.groupBy("text_hash")
