@@ -196,6 +196,42 @@ def test_lsh_multiprobe_recall(spark):
     total = sum(len(v) for v in exact_sets.values())
     assert hits / total >= 0.9
 
+    # VERDICT r2 item 7: margin-ordered probing reaches the same recall
+    # bar with <= 1/3 the probe fan-out of blind radius-2 (which enumerates
+    # 1 + 16 + C(16,2) = 137 buckets/query at n_planes=16)
+    radius2_fanout = 1 + 16 + (16 * 15) // 2
+    budget = radius2_fanout // 3
+    margin = similarity.lsh_cosine_topk_margin(
+        emb, q, k=3, n_planes=16, seed=1, probe_budget=budget).collect()
+    m_sets: dict = {}
+    for r in margin:
+        m_sets.setdefault(r["qid"], set()).add(r["nbr_id"])
+    m_hits = sum(len(exact_sets[k] & m_sets.get(k, set()))
+                 for k in exact_sets)
+    assert m_hits / total >= 0.9
+    assert m_hits >= hits            # no worse than blind radius-2
+
+
+def test_lsh_margin_probe_fanout_is_budgeted(spark):
+    """The probe generator emits exactly probe_budget buckets per query,
+    home bucket included (the scale contract: fan-out multiplies only the
+    broadcast query side and is a constant, not C(n_planes, r))."""
+    rng = np.random.default_rng(9)
+    q = spark.createDataFrame(
+        [(f"q{i}", [float(x) for x in rng.standard_normal(10)])
+         for i in range(4)], "qid string, embedding array<double>")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(10)])
+         for i in range(20)], "vec_id long, embedding array<double>")
+    # count scored (qid, nbr) pairs <= budget * bucket sizes; directly check
+    # the probe rows by reusing the kernel through a tiny budget
+    res = similarity.lsh_cosine_topk_margin(
+        emb, q, k=20, n_planes=8, seed=3, probe_budget=1).collect()
+    single = similarity.lsh_cosine_topk(
+        emb, q, k=20, n_planes=8, seed=3, n_probes=0).collect()
+    key = lambda rows: {(r["qid"], r["nbr_id"]) for r in rows}
+    assert key(res) == key(single)   # budget=1 == home bucket only
+
 
 def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     """VERDICT r1 item 5: an all-identical corpus forms one mega-bucket;
@@ -289,3 +325,24 @@ def test_ivf_cosine_topk_recall_and_determinism(spark):
     hits = sum(len(ex[k0] & ap.get(k0, set())) for k0 in ex)
     total = sum(len(v) for v in ex.values())
     assert hits / total >= 0.9
+
+
+def test_ivf_training_is_one_pass_per_iteration(spark):
+    """VERDICT r2 item 2: each Lloyd iteration must touch the corpus EXACTLY
+    once (assign + per-centroid partial sums fused in one kernel) — no
+    assignment join, no dim-wide aggregate re-scan. Counted with a Spark
+    accumulator inside the training kernel."""
+    rng = np.random.default_rng(23)
+    n, dim, iters = 120, 8, 3
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+            for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    acc = spark.sparkContext.accumulator(0)
+    cents = similarity.ivf_centroids(emb, n_centroids=6, seed=7, iters=iters,
+                                     row_counter=acc)
+    assert acc.value == iters * n     # one corpus scan per iteration, exactly
+    assert cents.shape == (6, dim)
+    # centers are unit-norm (spherical k-means contract)
+    norms = np.linalg.norm(cents, axis=1)
+    assert np.allclose(norms[norms > 1e-9], 1.0)
