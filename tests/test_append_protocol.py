@@ -75,6 +75,10 @@ def test_append_is_o_batch_not_o_vocab(spark, tmp_path):
     assert raw_after - raw_before <= batch_vocab
     assert raw_after - raw_before >= new_terms  # sanity: deltas overlap base
 
+    # the appended segment emitted its own lineage rows (north_star)
+    lin = cat.read_table(spark, "lineage")
+    assert lin.filter(F.col("phase").startswith("append:")).count() > 0
+
     # merged view == full recompute from postings chunk stats
     reader = IndexReader(spark, cat)
     full = (reader.postings.groupBy("term")

@@ -51,7 +51,7 @@ from ..sources.tables import Catalog
 
 # tables an append touches, in move order (stats last: its swap publishes
 # the new next_docid only after every data file is live)
-_APPEND_TABLES = ("docmap", "doclens", "postings", "termstats")
+_APPEND_TABLES = ("docmap", "doclens", "postings", "termstats", "lineage")
 
 
 def read_termstats(spark: SparkSession, catalog: Catalog) -> DataFrame:
@@ -208,6 +208,16 @@ def append_pages_batch(spark: SparkSession, batch: DataFrame,
                 .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
     batch_ts.write.mode("overwrite").parquet(
         _stage_path(catalog, "termstats", tag))
+
+    # per-partition lineage for the appended segment (north_star: every
+    # build emits lineage + metrics; appends are builds too). Aggregated
+    # from the STAGED postings — no extra pass over the batch.
+    from ..plans.index_build import POSTINGS_SCHEMA, lineage_from_postings
+    staged_postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
+        _stage_path(catalog, "postings", tag))
+    (lineage_from_postings(staged_postings)
+     .withColumn("phase", F.lit(f"append:{tag}"))
+     .write.mode("overwrite").parquet(_stage_path(catalog, "lineage", tag)))
 
     batch_agg = doc_tokens.agg(
         F.count("*").alias("n"), F.sum("dl").alias("dl")).collect()[0]
