@@ -34,7 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — round 2: every queries() key has one (34/34),
+    """DuckDB twins — round 3: every queries() key has one (35/35),
     including the real-engine entries (exact, BMW, two-pass RM3) and the
     multi-probe LSH ANN path."""
     return dict(entry_queries.ORACLE_SQL)

@@ -186,6 +186,24 @@ def test_compact_folds_termstats_deltas(spark, tmp_path):
         [(r["docid"], round(r["score"], 10)) for r in before]
 
 
+def test_merge_on_read_only_when_deltas_exist(spark, tmp_path):
+    """A purely batch-built index must NOT pay the merge-on-read aggregate
+    (cold-query cost contract); after an append the aggregate appears;
+    after compaction it disappears again."""
+    cat = _build(spark, tmp_path)
+
+    def has_agg() -> bool:
+        plan = IndexReader(spark, cat).termstats._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        return "Aggregate" in plan
+
+    assert not has_agg()                 # fresh batch build: plain scan
+    append_pages_batch(spark, _batch(spark, 10, 110, "mrdoc"), cat, CFG)
+    assert has_agg()                     # deltas present: aggregate on read
+    compact_postings(spark, cat, CFG)
+    assert not has_agg()                 # folded back to base rows
+
+
 def test_recover_table_generalizes(spark, tmp_path):
     """ADVICE r2: a crash between the two renames of a termstats/stats swap
     must be recoverable — recover_table covers any table with an __old

@@ -772,6 +772,114 @@ SELECT qid, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}
 
 ANN_MULTIPROBE_SQL = _ann_multiprobe_sql()
 
+ANN_MG_BUDGET = 8
+
+
+def q_ann_margin(spark, sf_dir):
+    """Margin-ordered multi-probe LSH ANN (Lv et al.), oracle-gated end to
+    end: per query, probe the `ANN_MG_BUDGET` buckets formed by flipping
+    subsets of the lowest-|projection| hyperplanes ordered by summed
+    flipped margin (the query-adaptive probe sequence), then bucket-join +
+    cosine verify. Rounded re-rank convention as ann_multiprobe."""
+    from .operators.similarity import lsh_cosine_topk_margin
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"), "embedding"))
+    cands = lsh_cosine_topk_margin(emb, q, k=1_000_000,
+                                   n_planes=ANN_MP_PLANES, seed=ANN_MP_SEED,
+                                   probe_budget=ANN_MG_BUDGET)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (cands.select("qid", "nbr_id",
+                         F.round("cosine", 6).alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5))
+
+
+def _ann_margin_sql(n_planes: int = ANN_MP_PLANES, seed: int = ANN_MP_SEED,
+                    dim: int = ANN_MP_DIM, k: int = 5,
+                    budget: int = ANN_MG_BUDGET) -> str:
+    """DuckDB twin of the margin-ordered probe sequence: the SAME seeded
+    hyperplanes as literals, the SAME subset enumeration order (cardinality
+    then lexicographic — ties in summed margin resolve by enumeration id on
+    both sides, matching the kernel's stable argsort), ranks planes per
+    query by (|projection| ASC, plane ASC) exactly like the kernel's
+    stable argsort over margins."""
+    from itertools import combinations
+
+    import numpy as np
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    t = min(n_planes,
+            max(2, int(np.ceil(np.log2(max(budget, 2)))) + 2))
+    subsets = [s for r in range(0, t + 1)
+               for s in combinations(range(t), r)]
+    # (sid, pos) rows for every NON-empty subset; sid is the kernel's
+    # enumeration index (empty set = sid 0, handled as a union below)
+    subset_rows = ", ".join(f"({sid}, {pos})"
+                            for sid, s in enumerate(subsets) if s
+                            for pos in s)
+
+    def plane_lit(p: int) -> str:
+        return ("[" + ", ".join(repr(float(x)) for x in planes[:, p])
+                + "]::DOUBLE[]")
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lit(p)}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes))
+    proj_union = "\n  UNION ALL ".join(
+        f"SELECT qid, {p} AS p, "
+        f"abs(list_dot_product(qv, {plane_lit(p)})) AS m FROM q"
+        for p in range(n_planes))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket_terms})::BIGINT AS bucket FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb,
+             sqrt(list_dot_product(v, v)) AS qn
+      FROM b WHERE vec_id < 5),
+margins AS (
+  {proj_union}),
+rankedp AS (
+  SELECT qid, p, m,
+         row_number() OVER (PARTITION BY qid ORDER BY m ASC, p ASC) - 1
+           AS pos
+  FROM margins),
+low AS (SELECT * FROM rankedp WHERE pos < {t}),
+subsets(sid, pos) AS (VALUES {subset_rows}),
+ssum AS (
+  SELECT l.qid, s.sid, SUM(l.m) AS msum,
+         SUM((1::BIGINT << l.p)) AS fmask
+  FROM low l JOIN subsets s ON l.pos = s.pos
+  GROUP BY l.qid, s.sid),
+allsub AS (
+  SELECT qid, 0 AS sid, 0.0 AS msum, 0::BIGINT AS fmask FROM q
+  UNION ALL
+  SELECT qid, sid, msum, fmask FROM ssum),
+topp AS (
+  SELECT qid, fmask,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY msum ASC, sid ASC) AS pr
+  FROM allsub),
+probes AS (
+  SELECT t.qid, q.qv, q.qn, xor(q.qb, t.fmask) AS pb
+  FROM topp t JOIN q USING (qid) WHERE t.pr <= {budget}),
+c AS (SELECT vec_id AS nbr_id, v AS cv, bucket AS cb,
+             sqrt(list_dot_product(v, v)) AS cn FROM b),
+scored AS (
+  SELECT p.qid, c.nbr_id,
+         round(list_dot_product(c.cv, p.qv) / (c.cn * p.qn), 6) AS cosine
+  FROM c JOIN probes p ON c.cb = p.pb),
+ranked AS (
+  SELECT qid, nbr_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nbr_id ASC)::INT AS rank
+  FROM scored)
+SELECT qid, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+ANN_MARGIN_SQL = _ann_margin_sql()
+
 
 # -------------------------------------------------------------------------
 # REAL distributed engine, oracle-gated: with the "simple" analyzer the
@@ -956,6 +1064,7 @@ QUERY_FNS = {
     "rm3_topk": q_rm3_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_multiprobe": q_ann_multiprobe,
+    "ann_margin_probe": q_ann_margin,
     "embedding_neardup": q_embedding_neardup,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
@@ -993,6 +1102,7 @@ ORACLE_SQL = {
     "rm3_topk": RM3_TOPK_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "ann_multiprobe": ANN_MULTIPROBE_SQL,
+    "ann_margin_probe": ANN_MARGIN_SQL,
     "embedding_neardup": EMB_NEARDUP_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
