@@ -180,6 +180,22 @@ def bench_index_and_query(cpus: int, do_entry_ops: bool) -> dict:
             fn(spark, SF_DIR).count()
             out["queries"][name] = round(time.perf_counter() - t0, 3)
 
+    # streaming-append throughput (extra field, NOT in the headline sum so
+    # round-to-round suite totals stay comparable): one 2k-doc micro-batch
+    # through the full two-phase epoch protocol against the built index
+    from text_retrieval_and_search_engines_spark.streaming.incremental import (
+        append_pages_batch)
+    batch = (spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(2000)
+             .select(F.format_string("append/doc%09d",
+                                     F.col("doc_id")).alias("url"),
+                     F.col("text")))
+    n_batch = batch.count()
+    t0 = time.perf_counter()
+    append_pages_batch(spark, batch, catalog, cfg, epoch_tag="bench-e0")
+    t_append = time.perf_counter() - t0
+    out["append_sec"] = round(t_append, 3)
+    out["append_docs_per_sec"] = round(n_batch / t_append, 1)
+
     spark.stop()
     return out
 
@@ -320,6 +336,8 @@ def main() -> None:
         "cpus": CPUS,
         "index_docs_per_sec": result["index_docs_per_sec"],
         "n_docs": result["n_docs"],
+        "append_sec": result.get("append_sec"),
+        "append_docs_per_sec": result.get("append_docs_per_sec"),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":

@@ -98,7 +98,13 @@ def _apply_commit(catalog: Catalog, entry: dict) -> None:
     """Move phase of the two-phase append: publish every staged dir recorded
     in the commit marker, then write the done marker. Safe to re-run after a
     crash at any point (file moves are individually atomic and idempotent;
-    the stats swap recovers through recover_table)."""
+    the stats swap recovers through recover_table).
+
+    Isolation note: a CONCURRENT reader that opens mid-move can observe the
+    new postings before the new termstats deltas (single-writer semantics;
+    writer-crash consistency is what the protocol guarantees). A real
+    Iceberg catalog makes the publish a single atomic snapshot commit —
+    that is exactly what the `use_iceberg` switch buys at deployment."""
     tag = entry["epoch_tag"]
     for table in entry["tables"]:
         _move_parquet_files(_stage_path(catalog, table, tag),
