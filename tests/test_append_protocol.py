@@ -242,6 +242,76 @@ def test_compact_passthrough_is_byte_identical(spark, tmp_path):
         assert post[k] == pre[k], f"passthrough changed payload for {k}"
 
 
+def test_bucket_selective_compaction(spark, tmp_path):
+    """Incremental compaction: only the buckets on the work list are
+    rewritten (bounded I/O per call — the 10^9-chunk shape), other bucket
+    partitions keep their exact files, termstats deltas stay (chunk
+    merging preserves df/cf), and query results are unchanged. A crash in
+    the bucket-swap window is recovered."""
+    from text_retrieval_and_search_engines_spark.streaming.incremental import (
+        buckets_needing_compaction, recover_postings_buckets)
+
+    cat = _build(spark, tmp_path)
+    append_pages_batch(spark, _batch(spark, 20, 120, "bkdoc"), cat, CFG)
+    reader = IndexReader(spark, cat)
+    before = search_fast(reader, [("q", "spark index data")],
+                         SearchParams(k=10)).collect()
+
+    work = buckets_needing_compaction(spark, cat)
+    assert work                                  # appends made multi-chunks
+    all_buckets = {
+        int(d.split("=")[1])
+        for d in os.listdir(cat.path("postings")) if "=" in d}
+    untouched = sorted(all_buckets - set(work))
+    mtimes = {}
+    for b in untouched:
+        d = os.path.join(cat.path("postings"), f"term_bucket={b}")
+        mtimes[b] = {f: os.path.getmtime(os.path.join(d, f))
+                     for f in os.listdir(d)}
+
+    # compact HALF the work list -> only those buckets become single-chunk
+    half = work[:max(1, len(work) // 2)]
+    compact_postings(spark, cat, CFG, buckets=half)
+
+    post = cat.read_table(spark, "postings")
+    dup = (post.groupBy("term_bucket", "term", "range_id").count()
+           .filter("count > 1").select("term_bucket").distinct().collect())
+    dup_buckets = {int(r["term_bucket"]) for r in dup}
+    assert dup_buckets.isdisjoint(set(half))     # compacted buckets clean
+    assert set(work) - set(half) <= dup_buckets | set(work)  # rest remain
+
+    for b in untouched:                          # untouched files identical
+        d = os.path.join(cat.path("postings"), f"term_bucket={b}")
+        now = {f: os.path.getmtime(os.path.join(d, f))
+               for f in os.listdir(d)}
+        assert now == mtimes[b]
+
+    # termstats untouched: deltas still present, merge-on-read still active
+    assert (cat.latest_fingerprint("termstats") or "").startswith(
+        "append-delta")
+    reader2 = IndexReader(spark, cat)
+    after = search_fast(reader2, [("q", "spark index data")],
+                        SearchParams(k=10)).collect()
+    assert [(r["docid"], round(r["score"], 10)) for r in after] == \
+        [(r["docid"], round(r["score"], 10)) for r in before]
+
+    # finish the work list, then verify the whole table is single-chunk
+    compact_postings(spark, cat, CFG, buckets=work)
+    assert buckets_needing_compaction(spark, cat) == []
+
+    # crash window: bucket dir moved aside, replacement missing
+    b0 = sorted(all_buckets)[0]
+    live = os.path.join(cat.path("postings"), f"term_bucket={b0}")
+    shutil.move(live, cat.path(f"postings__old_bucket_{b0}"))
+    assert recover_postings_buckets(cat) == 1
+    assert os.path.isdir(live)
+    final = search_fast(IndexReader(spark, cat),
+                        [("q", "spark index data")],
+                        SearchParams(k=10)).collect()
+    assert [(r["docid"], round(r["score"], 10)) for r in final] == \
+        [(r["docid"], round(r["score"], 10)) for r in before]
+
+
 def test_streaming_dedup_winner_deterministic(spark, tmp_path):
     """ADVICE r2: among same-batch duplicates the surviving row is the
     minimum (warc_ts, url) — not an arbitrary arrival-order artifact."""

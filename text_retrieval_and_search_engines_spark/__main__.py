@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     p_c = sub.add_parser("compact", help="sort-merge combine appended chunks")
     _add_common(p_c)
     p_c.add_argument("--range-size", type=int, default=1 << 17)
+    p_c.add_argument("--incremental", action="store_true",
+                     help="compact only the term_buckets that hold "
+                          "multi-chunk groups, one bucket swap at a time "
+                          "(bounded I/O; termstats deltas stay, folded on "
+                          "the next full compact)")
 
     args = ap.parse_args(argv)
     spark = get_spark(f"engine-{args.cmd}", master=args.master)
@@ -116,8 +121,14 @@ def main(argv: list[str] | None = None) -> int:
                           langs=(), recompute_text=False,
                           materialize_docs=False)
         if args.cmd == "compact":
-            compact_postings(spark, catalog, cfg)
-            print("compacted postings")
+            if getattr(args, "incremental", False):
+                from .streaming.incremental import buckets_needing_compaction
+                work = buckets_needing_compaction(spark, catalog)
+                compact_postings(spark, catalog, cfg, buckets=work)
+                print(f"compacted buckets {work}")
+            else:
+                compact_postings(spark, catalog, cfg)
+                print("compacted postings")
             return 0
         if args.stream:
             q = stream_pages_into_index(

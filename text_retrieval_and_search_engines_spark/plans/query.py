@@ -63,9 +63,13 @@ class IndexReader:
                                            schema=POSTINGS_SCHEMA)
         # merge-on-read: appended termstats delta rows aggregate lazily;
         # a purely batch-built index reads the base table with no extra agg
-        from ..streaming.incremental import read_termstats, recover_table
+        from ..streaming.incremental import (read_termstats,
+                                             recover_postings_buckets,
+                                             recover_table)
         for t in ("stats", "termstats"):
             recover_table(catalog, t)   # heal an interrupted swap on open
+        if not catalog.use_iceberg and "://" not in catalog.root:
+            recover_postings_buckets(catalog)
         self.termstats = read_termstats(spark, catalog)
         self.docmap = catalog.read_table(spark, "docmap")
         row = catalog.read_table(spark, "stats").collect()[0]

@@ -313,6 +313,25 @@ def _swap_dir(tmp: str, final: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _swap_bucket(catalog: Catalog, bucket: int, tmp: str) -> None:
+    """Rename-first swap of ONE postings bucket partition dir. The
+    moved-aside dir lives outside the table root (a `term_bucket=N__old`
+    sibling inside it would corrupt partition discovery);
+    recover_postings_buckets restores it if a crash hits the window."""
+    live = os.path.join(catalog.path("postings"), f"term_bucket={bucket}")
+    old = catalog.path(f"postings__old_bucket_{bucket}")
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(live):
+        os.rename(live, old)
+    try:
+        os.rename(tmp, live)
+    except OSError:
+        if os.path.exists(old) and not os.path.exists(live):
+            os.rename(old, live)   # roll back
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def recover_table(catalog: Catalog, table: str) -> bool:
     """Crash recovery for an interrupted swap of ANY table: restore the
     moved-aside dir if the live one is missing (ADVICE r2 — the old
@@ -331,13 +350,56 @@ def recover_postings(catalog: Catalog) -> bool:
     return recover_table(catalog, "postings")
 
 
+def buckets_needing_compaction(spark: SparkSession, catalog: Catalog
+                               ) -> list[int]:
+    """term_buckets holding at least one multi-chunk (term, range) group —
+    the work list for incremental `compact_postings(buckets=...)`. One
+    metadata-light aggregate over (term_bucket, term, range_id)."""
+    from ..plans.index_build import POSTINGS_SCHEMA
+    postings = catalog.read_table(spark, "postings", schema=POSTINGS_SCHEMA)
+    rows = (postings.groupBy("term_bucket", "term", "range_id").count()
+            .filter(F.col("count") > 1)
+            .select("term_bucket").distinct().collect())
+    return sorted(int(r["term_bucket"]) for r in rows)
+
+
+def recover_postings_buckets(catalog: Catalog) -> int:
+    """Crash recovery for interrupted PER-BUCKET compaction swaps: the
+    moved-aside bucket dirs live OUTSIDE the postings table (a stray
+    `term_bucket=N__old` inside it would corrupt partition discovery).
+    Restores any bucket whose live dir is missing; returns restore count."""
+    n = 0
+    for old in glob.glob(os.path.join(catalog.root,
+                                      "postings__old_bucket_*")):
+        bucket = old.rsplit("_", 1)[1]
+        live = os.path.join(catalog.path("postings"),
+                            f"term_bucket={bucket}")
+        if not os.path.exists(live):
+            os.rename(old, live)
+            n += 1
+        else:
+            shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
 def compact_postings(spark: SparkSession, catalog: Catalog,
-                     cfg: IndexConfig) -> None:
+                     cfg: IndexConfig,
+                     buckets: list[int] | None = None) -> None:
     """Sort-merge combine appended chunks: decode every chunk of a
     (term, range) group, merge by docid, re-encode ONE chunk — the
     'sort-merge combine across partitions' of the north_star, applied as
-    segment compaction. Also folds termstats delta rows (appends) back into
-    one base row per term, recomputed from the compacted chunk stats.
+    segment compaction. Full-table mode (buckets=None) also folds termstats
+    delta rows (appends) back into one base row per term, recomputed from
+    the compacted chunk stats.
+
+    **Incremental mode** (`buckets=[...]`): compacts ONLY the named
+    term_bucket partitions, swapping each bucket dir independently —
+    bounded I/O per call instead of an O(index) whole-table rewrite, the
+    only shape that works at 10^9+ chunk rows (drive it from
+    `buckets_needing_compaction`, a metadata-weight aggregate). Chunk
+    merging never changes df/cf sums, so termstats is untouched in
+    incremental mode; merge-on-read stays active until a full compact (or
+    `compact_termstats`) folds the deltas.
 
     Same physical shape as the build's merge stage: one shuffle to
     (term_bucket, range_id), in-task sort by (term, range_id), then a
@@ -359,6 +421,7 @@ def compact_postings(spark: SparkSession, catalog: Catalog,
 
     recover_table(catalog, "postings")
     recover_table(catalog, "termstats")
+    recover_postings_buckets(catalog)
     recover_appends(catalog)
     postings = catalog.read_table(spark, "postings",
                                   schema=POSTINGS_SCHEMA)
@@ -434,6 +497,15 @@ def compact_postings(spark: SparkSession, catalog: Catalog,
                       for col, f in zip(zip(*rows), pa_schema)]
             return pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
 
+        def norm(b):
+            """Passthrough batches must carry EXACTLY pa_schema: the Arrow
+            stream writer rejects mixed schemas, and the input side can
+            differ in nullability flags (e.g. a non-nullable lit()
+            term_bucket in per-bucket mode). Zero-copy when types match."""
+            if b.schema.equals(pa_schema):
+                return b
+            return b.cast(pa_schema)
+
         for batch in batches:
             idx = batch.schema.get_field_index
             terms = batch.column(idx("term")).to_numpy(zero_copy_only=False)
@@ -462,7 +534,7 @@ def compact_postings(spark: SparkSession, catalog: Catalog,
                     closed = close_held()
                     if closed is not None:
                         if closed[0] == "pass":
-                            yield closed[1]
+                            yield norm(closed[1])
                         else:
                             out_rows.append(closed[1])
             # complete inner groups; last group is held across batches
@@ -477,13 +549,13 @@ def compact_postings(spark: SparkSession, catalog: Catalog,
             held.append(batch.slice(lo, n - lo))
             held_key = (terms[lo], int(ranges[lo]))
             if pass_idx:
-                yield batch.take(pa.array(pass_idx, type=pa.int64()))
+                yield norm(batch.take(pa.array(pass_idx, type=pa.int64())))
             if out_rows:
                 yield rows_batch(out_rows)
         closed = close_held()
         if closed is not None:
             if closed[0] == "pass":
-                yield closed[1]
+                yield norm(closed[1])
             else:
                 yield rows_batch([closed[1]])
 
@@ -491,6 +563,36 @@ def compact_postings(spark: SparkSession, catalog: Catalog,
     # parquet scan appends term_bucket last, and mapInArrow output columns
     # match by position — passthrough batches must already be in order
     col_names = [c.strip().split(" ")[0] for c in POSTINGS_SCHEMA.split(",")]
+
+    if buckets is not None:
+        # incremental mode: rewrite ONLY the named bucket partitions, each
+        # swapped independently — bounded I/O per call; termstats untouched
+        # (chunk merging preserves df/cf sums exactly)
+        part_schema = ", ".join(c for c in POSTINGS_SCHEMA.split(", ")
+                                if not c.strip().startswith("term_bucket "))
+        for b in buckets:
+            live = os.path.join(catalog.path("postings"),
+                                f"term_bucket={int(b)}")
+            if not os.path.isdir(live):
+                continue
+            df = (spark.read.schema(part_schema).parquet(live)
+                  .withColumn("term_bucket", F.lit(int(b)).cast("int")))
+            merged_b = (df.repartition("range_id")
+                        .sortWithinPartitions("term", "range_id")
+                        .select(*col_names)
+                        .mapInArrow(kernel, schema=POSTINGS_SCHEMA)
+                        .drop("term_bucket"))
+            tmp = catalog.path(f"postings__compacting_b{int(b)}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            merged_b.write.mode("overwrite").parquet(tmp)
+            _swap_bucket(catalog, int(b), tmp)
+        catalog._append_snapshot({
+            "table": "postings",
+            "fingerprint": "compact-buckets:"
+                           + ",".join(str(int(b)) for b in buckets),
+            "committed_at": time.time()})
+        return
+
     merged = (postings
               .repartition("term_bucket", "range_id")
               .sortWithinPartitions("term", "range_id")
