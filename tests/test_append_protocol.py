@@ -299,6 +299,14 @@ def test_bucket_selective_compaction(spark, tmp_path):
     compact_postings(spark, cat, CFG, buckets=work)
     assert buckets_needing_compaction(spark, cat) == []
 
+    # block-max metadata rebuilt by the merge must drive BMW to the exact
+    # same results (bit-identical contract)
+    reader3 = IndexReader(spark, cat)
+    bmw = search_fast(reader3, [("q", "spark index data")],
+                      SearchParams(k=10, algo="bmw")).collect()
+    assert [(r["docid"], r["score"]) for r in bmw] == \
+        [(r["docid"], r["score"]) for r in before]
+
     # crash window: bucket dir moved aside, replacement missing
     b0 = sorted(all_buckets)[0]
     live = os.path.join(cat.path("postings"), f"term_bucket={b0}")

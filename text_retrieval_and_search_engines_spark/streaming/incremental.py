@@ -198,35 +198,51 @@ def append_pages_batch(spark: SparkSession, batch: DataFrame,
     docs = docs.withColumn("docid", F.col("docid") + F.lit(base))
 
     # ---- stage phase: everything written aside, nothing live yet ----------
-    docs = docs.persist()
-    docs.select("docid", "url").write.mode("overwrite").parquet(
-        _stage_path(catalog, "docmap", tag))
-    doc_tokens = tokenize_docs(docs, cfg.analyzer).persist()
-    doc_tokens.select("docid", "dl").write.mode("overwrite").parquet(
-        _stage_path(catalog, "doclens", tag))
-    (build_postings(doc_tokens, cfg).write.mode("overwrite")
-     .partitionBy("term_bucket")
-     .parquet(_stage_path(catalog, "postings", tag)))
+    # Independent staged writes run as concurrent driver-thread jobs (the
+    # build_index pattern): docmap/doclens/termstats/stats aggregates are
+    # tiny next to the postings encode — serializing them quadruples the
+    # fixed per-micro-batch floor at small batches.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # per-batch termstats DELTA rows — O(batch vocab), merged on read
-    from ..plans.index_build import explode_tokens
-    batch_ts = (explode_tokens(doc_tokens).groupBy("term")
-                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
-    batch_ts.write.mode("overwrite").parquet(
-        _stage_path(catalog, "termstats", tag))
+    from ..plans.index_build import (POSTINGS_SCHEMA, explode_tokens,
+                                     lineage_from_postings)
+
+    docs = docs.persist()
+    docs.count()                    # materialize ONCE before threads share it
+    doc_tokens = tokenize_docs(docs, cfg.analyzer).persist()
+    with ThreadPoolExecutor(4) as ex:
+        f_docmap = ex.submit(
+            lambda: docs.select("docid", "url").write.mode("overwrite")
+            .parquet(_stage_path(catalog, "docmap", tag)))
+        doc_tokens.count()          # materialize before the dependent jobs
+        f_doclens = ex.submit(
+            lambda: doc_tokens.select("docid", "dl").write.mode("overwrite")
+            .parquet(_stage_path(catalog, "doclens", tag)))
+        # per-batch termstats DELTA rows — O(batch vocab), merged on read
+        f_ts = ex.submit(
+            lambda: explode_tokens(doc_tokens).groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+            .write.mode("overwrite")
+            .parquet(_stage_path(catalog, "termstats", tag)))
+        f_agg = ex.submit(
+            lambda: doc_tokens.agg(F.count("*").alias("n"),
+                                   F.sum("dl").alias("dl")).collect()[0])
+        # the heavy job runs in this thread
+        (build_postings(doc_tokens, cfg).write.mode("overwrite")
+         .partitionBy("term_bucket")
+         .parquet(_stage_path(catalog, "postings", tag)))
+        f_docmap.result(), f_doclens.result(), f_ts.result()
+        batch_agg = f_agg.result()
 
     # per-partition lineage for the appended segment (north_star: every
     # build emits lineage + metrics; appends are builds too). Aggregated
     # from the STAGED postings — no extra pass over the batch.
-    from ..plans.index_build import POSTINGS_SCHEMA, lineage_from_postings
     staged_postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
         _stage_path(catalog, "postings", tag))
     (lineage_from_postings(staged_postings)
      .withColumn("phase", F.lit(f"append:{tag}"))
      .write.mode("overwrite").parquet(_stage_path(catalog, "lineage", tag)))
 
-    batch_agg = doc_tokens.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("dl")).collect()[0]
     n_new, dl_new = int(batch_agg["n"]), int(batch_agg["dl"] or 0)
     _stage_stats(spark, catalog, cfg, srow, n_new, dl_new, base, tag)
 
