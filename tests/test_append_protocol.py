@@ -242,6 +242,43 @@ def test_compact_passthrough_is_byte_identical(spark, tmp_path):
         assert post[k] == pre[k], f"passthrough changed payload for {k}"
 
 
+def test_batch_search_on_delta_index(spark, tmp_path):
+    """The BATCH search path over a delta-bearing termstats table: results
+    equal search_fast (driver df_lookup path), and the plan aggregates the
+    broadcast-JOINED relation, not the full vocabulary (no merge-on-read
+    Aggregate under the join — the O(vocab)-shuffle-per-query trap)."""
+    from text_retrieval_and_search_engines_spark.plans.query import search
+
+    cat = _build(spark, tmp_path)
+    append_pages_batch(spark, _batch(spark, 20, 130, "bsdoc"), cat, CFG)
+    reader = IndexReader(spark, cat)
+    assert reader.termstats_deltas
+
+    qdf = spark.createDataFrame([("q", "spark index data")],
+                                "qid string, text string")
+    batch = search(reader, qdf, SearchParams(k=10)).collect()
+    fast = search_fast(reader, [("q", "spark index data")],
+                       SearchParams(k=10)).collect()
+    assert [(r["docid"], round(r["score"], 10)) for r in batch] == \
+        [(r["docid"], round(r["score"], 10)) for r in fast]
+
+    # plan shape: in the optimized plan of the qt side, the df aggregate
+    # sits ABOVE the broadcast join with the query terms (tiny input), not
+    # below it over the raw termstats scan
+    from pyspark.sql import functions as F2
+    from text_retrieval_and_search_engines_spark.plans.query import (
+        tokenize_queries)
+    qt = (reader.termstats_raw
+          .join(F2.broadcast(tokenize_queries(qdf, reader.analyzer)),
+                "term", "inner")
+          .groupBy("qid", "term", "weight").agg(F2.sum("df").alias("df")))
+    plan = qt._jdf.queryExecution().executedPlan().toString()
+    ji = plan.find("BroadcastHashJoin")
+    ai = plan.find("HashAggregate")
+    assert ji != -1 and ai != -1
+    assert ai < ji      # aggregate prints above (= consumes) the join
+
+
 def test_bucket_selective_compaction(spark, tmp_path):
     """Incremental compaction: only the buckets on the work list are
     rewritten (bounded I/O per call — the 10^9-chunk shape), other bucket

@@ -70,6 +70,10 @@ class IndexReader:
             recover_table(catalog, t)   # heal an interrupted swap on open
         if not catalog.use_iceberg and "://" not in catalog.root:
             recover_postings_buckets(catalog)
+        self.termstats_raw = catalog.read_table(
+            spark, "termstats", schema="term string, df long, cf long")
+        self.termstats_deltas = (catalog.latest_fingerprint("termstats")
+                                 or "").startswith("append-delta")
         self.termstats = read_termstats(spark, catalog)
         self.docmap = catalog.read_table(spark, "docmap")
         row = catalog.read_table(spark, "stats").collect()[0]
@@ -115,6 +119,9 @@ class IndexReader:
         self.termstats = self.termstats.persist()
         self.postings.count()
         self.termstats.count()
+        if getattr(self, "termstats_deltas", False):
+            self.termstats_raw = self.termstats_raw.persist()
+            self.termstats_raw.count()
         return self
 
 
@@ -407,7 +414,16 @@ def search_terms(reader: IndexReader, qterms: DataFrame,
     rank). This is both the BM25 core and the RM3 second pass (weights
     multiply per-term BM25 contributions, SURVEY R8)."""
     # df per query term: broadcast the tiny query side; termstats streams.
-    qt = reader.termstats.join(F.broadcast(qterms), "term", "inner")
+    # When append deltas exist, join the RAW delta rows first and aggregate
+    # the tiny joined relation — joining the merge-on-read VIEW would put a
+    # full-vocab shuffle under every cold batch query (Catalyst cannot push
+    # a join below an aggregate).
+    if getattr(reader, "termstats_deltas", False):
+        qt = (reader.termstats_raw.join(F.broadcast(qterms), "term", "inner")
+              .groupBy("qid", "term", "weight")
+              .agg(F.sum("df").alias("df")))
+    else:
+        qt = reader.termstats.join(F.broadcast(qterms), "term", "inner")
     # per-qid count of index-matched terms (conjunctive mode needs the GLOBAL
     # count — a term absent from one docid range still vetoes its docs).
     qt_counts = qt.groupBy("qid").agg(
