@@ -357,6 +357,42 @@ def test_bucket_selective_compaction(spark, tmp_path):
         [(r["docid"], round(r["score"], 10)) for r in before]
 
 
+def test_manifest_pruning_bounds_epoch_entries(spark, tmp_path):
+    """Long-stream manifest growth is bounded: epoch markers and per-epoch
+    append entries beyond the newest keep_epochs tags are pruned, while the
+    newest delta entry (the merge-on-read switch) and base-build entries
+    survive. Pruning runs automatically at the end of every append."""
+    cat = _build(spark, tmp_path)
+    base_entries = len(cat._load_manifest()["snapshots"])
+
+    # simulate a long stream's manifest without running 200 real appends
+    for i in range(200):
+        tag = f"simt{i}"
+        cat._append_snapshot({"table": "_epochs",
+                              "fingerprint": f"{tag}:commit",
+                              "epoch_tag": tag, "tables": []})
+        cat._append_snapshot({"table": "termstats",
+                              "fingerprint": f"append-delta:{tag}"})
+        cat._append_snapshot({"table": "stats",
+                              "fingerprint": f"append:{tag}"})
+        cat._append_snapshot({"table": "_epochs",
+                              "fingerprint": f"{tag}:done"})
+    dropped = cat.prune_manifest(keep_epochs=50)
+    assert dropped == 150 * 4
+    snaps = cat._load_manifest()["snapshots"]
+    assert len(snaps) == base_entries + 50 * 4
+    # merge-on-read switch survives: latest termstats entry is still a delta
+    assert (cat.latest_fingerprint("termstats") or "").startswith(
+        "append-delta")
+    # base-build resumability entries survive
+    assert cat.has_table("postings")
+    # a REAL append triggers pruning automatically and stays consistent
+    append_pages_batch(spark, _batch(spark, 5, 140, "prdoc"), cat, CFG)
+    assert len(cat._load_manifest()["snapshots"]) <= base_entries + 101 * 4
+    reader = IndexReader(spark, cat)
+    assert reader.n_docs == 45
+
+
 def test_streaming_dedup_winner_deterministic(spark, tmp_path):
     """ADVICE r2: among same-batch duplicates the surviving row is the
     minimum (warc_ts, url) — not an arbitrary arrival-order artifact."""

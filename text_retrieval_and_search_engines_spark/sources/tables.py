@@ -89,6 +89,48 @@ class Catalog:
             reader = reader.schema(schema)
         return reader.parquet(self.path(table))
 
+    def prune_manifest(self, keep_epochs: int = 100) -> int:
+        """Bound manifest growth on long append streams: every micro-batch
+        adds ~4 snapshot entries and each commit rewrites the whole JSON —
+        O(n^2) bytes over 10^5 epochs. Drops _epochs markers and per-epoch
+        append/append-delta entries beyond the newest `keep_epochs` epoch
+        tags (Structured Streaming replays at most the CURRENT failed
+        micro-batch, so old done-markers can never be consulted again).
+        Entries for base builds/compactions and each table's newest
+        append-delta lineage are always kept. Returns entries dropped.
+        A real Iceberg catalog replaces this with snapshot expiration."""
+        with self._lock:
+            m = self._load_manifest()
+            snaps = m["snapshots"]
+            tags: list[str] = []
+            for s in snaps:      # commit order = epoch order
+                if s["table"] == "_epochs" and s["fingerprint"].endswith(":done"):
+                    tags.append(s["fingerprint"][:-5])
+            # always keep >=1 newest tag: the latest append-delta entry is
+            # what tells readers merge-on-read is needed
+            keep_tags = set(tags[-max(keep_epochs, 1):])
+            old_tags = set(tags) - keep_tags
+
+            def is_old_epoch_entry(s: dict) -> bool:
+                fp = s["fingerprint"]
+                if s["table"] == "_epochs":
+                    tag = fp.rsplit(":", 1)[0]
+                    return tag in old_tags
+                for prefix in ("append-delta:", "append:"):
+                    if fp.startswith(prefix):
+                        return fp[len(prefix):] in old_tags
+                return False
+
+            kept = [s for s in snaps if not is_old_epoch_entry(s)]
+            dropped = len(snaps) - len(kept)
+            if dropped:
+                m["snapshots"] = kept
+                tmp = self._manifest_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(m, f, indent=1)
+                os.replace(tmp, self._manifest_path)
+            return dropped
+
     def latest_fingerprint(self, table: str) -> str | None:
         """Fingerprint of the most recent snapshot committed for `table`
         (readers use this to decide e.g. whether termstats delta rows exist

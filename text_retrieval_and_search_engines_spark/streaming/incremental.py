@@ -125,6 +125,9 @@ def _apply_commit(catalog: Catalog, entry: dict) -> None:
     catalog._append_snapshot({"table": "_epochs",
                               "fingerprint": f"{tag}:done",
                               "committed_at": time.time()})
+    # bound manifest growth on long streams (O(epochs) entries otherwise;
+    # Structured Streaming never replays epochs older than the current one)
+    catalog.prune_manifest()
 
 
 def recover_appends(catalog: Catalog) -> bool:
