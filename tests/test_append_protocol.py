@@ -150,6 +150,59 @@ def test_crash_mid_move_recovers(spark, tmp_path, monkeypatch):
     assert len(got) <= 5
 
 
+def test_crash_at_every_move_step(spark, tmp_path, monkeypatch):
+    """Exhaustive crash-point sweep: inject a crash after k completed table
+    moves for every k in 0..len(_APPEND_TABLES), recover, and verify the
+    index equals a clean append every time (same n_docs, df/cf consistent
+    with postings, searchable)."""
+    real_move = incremental._move_parquet_files
+    n_tables = len(incremental._APPEND_TABLES)
+
+    for k in range(n_tables + 1):
+        cat = Catalog(str(tmp_path / f"cat_k{k}"))
+        p1 = synth_pages(30, seed=200 + k, vocab_size=120)
+        build_index(spark, spark.createDataFrame(p1), cat, CFG,
+                    input_fp=f"cp{k}")
+        batch = _batch(spark, 12, 300 + k, f"cpdoc{k}")
+
+        moved = [0]
+
+        def crashing_move(stage_dir, live_dir, tag, _k=k, _m=moved):
+            if _m[0] == _k:
+                raise RuntimeError(f"crash after {_k} moves")
+            _m[0] += 1
+            real_move(stage_dir, live_dir, tag)
+
+        monkeypatch.setattr(incremental, "_move_parquet_files",
+                            crashing_move)
+        if k < n_tables:
+            with pytest.raises(RuntimeError, match="crash after"):
+                append_pages_batch(spark, batch, cat, CFG,
+                                   epoch_tag=f"sweep{k}")
+        else:       # k == n_tables: crash AFTER all moves, before nothing
+            monkeypatch.setattr(incremental, "_move_parquet_files",
+                                real_move)
+            append_pages_batch(spark, batch, cat, CFG,
+                               epoch_tag=f"sweep{k}")
+        monkeypatch.setattr(incremental, "_move_parquet_files", real_move)
+
+        recover_appends(cat)
+        assert epoch_applied(cat, f"sweep{k}")
+        reader = IndexReader(spark, cat)
+        assert reader.n_docs == 42, f"crash point {k}"
+        # df/cf consistent with postings after recovery
+        full = (reader.postings.groupBy("term")
+                .agg(F.sum("df_chunk").alias("df0")))
+        diff = (full.join(reader.termstats, "term", "full")
+                .filter(F.col("df0").isNull() | F.col("df").isNull()
+                        | (F.col("df0") != F.col("df"))).count())
+        assert diff == 0, f"crash point {k}"
+        # and the replay stays a no-op
+        info = append_pages_batch(spark, batch, cat, CFG,
+                                  epoch_tag=f"sweep{k}")
+        assert info.get("skipped") is True
+
+
 def test_abandoned_staging_is_cleared(spark, tmp_path):
     """Staging dirs without a commit marker (crash during the stage phase)
     are discarded by recovery — the epoch will be fully redone."""
