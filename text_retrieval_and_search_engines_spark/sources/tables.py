@@ -42,7 +42,11 @@ class Catalog:
     def _append_snapshot(self, entry: dict) -> None:
         with self._lock:  # phase writes may commit from concurrent threads
             m = self._load_manifest()
-            entry["snapshot_id"] = len(m["snapshots"]) + 1
+            # max+1, not len+1: pruning may shrink the list and len+1 would
+            # reissue ids already used by live entries
+            entry["snapshot_id"] = max(
+                (s.get("snapshot_id", 0) for s in m["snapshots"]),
+                default=0) + 1
             m["snapshots"].append(entry)
             tmp = self._manifest_path + ".tmp"
             with open(tmp, "w") as f:
