@@ -239,6 +239,40 @@ def test_compact_folds_termstats_deltas(spark, tmp_path):
         [(r["docid"], round(r["score"], 10)) for r in before]
 
 
+def test_compact_termstats_alone_folds_deltas(spark, tmp_path):
+    """compact_termstats folds delta rows WITHOUT touching postings — the
+    companion to bucket-selective compact_postings on long append streams
+    (postings chunks stay segmented; termstats goes back to base rows and
+    merge-on-read turns itself off; results identical)."""
+    cat = _build(spark, tmp_path)
+    append_pages_batch(spark, _batch(spark, 20, 107, "ctdoc"), cat, CFG)
+    append_pages_batch(spark, _batch(spark, 15, 108, "cudoc"), cat, CFG)
+    reader = IndexReader(spark, cat)
+    before = search_fast(reader, [("q", "spark index data")],
+                         SearchParams(k=10)).collect()
+    post_dir = cat.path("postings")
+    post_files = sorted(glob.glob(f"{post_dir}/**/*.parquet", recursive=True))
+    post_mtimes = [os.path.getmtime(f) for f in post_files]
+    assert (cat.latest_fingerprint("termstats") or "").startswith(
+        "append-delta")
+
+    incremental.compact_termstats(spark, cat)
+
+    assert cat.latest_fingerprint("termstats") == "compact"
+    raw = spark.read.parquet(cat.path("termstats"))
+    assert raw.groupBy("term").count().filter("count > 1").count() == 0
+    # postings untouched: same files, same mtimes (still multi-chunk)
+    assert sorted(glob.glob(f"{post_dir}/**/*.parquet",
+                            recursive=True)) == post_files
+    assert [os.path.getmtime(f) for f in post_files] == post_mtimes
+    reader2 = IndexReader(spark, cat)
+    assert not getattr(reader2, "termstats_deltas")
+    after = search_fast(reader2, [("q", "spark index data")],
+                        SearchParams(k=10)).collect()
+    assert [(r["docid"], round(r["score"], 10)) for r in after] == \
+        [(r["docid"], round(r["score"], 10)) for r in before]
+
+
 def test_merge_on_read_only_when_deltas_exist(spark, tmp_path):
     """A purely batch-built index must NOT pay the merge-on-read aggregate
     (cold-query cost contract); after an append the aggregate appears;

@@ -401,6 +401,28 @@ def recover_postings_buckets(catalog: Catalog) -> int:
     return n
 
 
+def compact_termstats(spark: SparkSession, catalog: Catalog) -> None:
+    """Fold termstats append-delta rows into ONE base row per term without
+    touching postings — O(vocab) I/O, nothing else. This is the companion
+    to incremental `compact_postings(buckets=...)`: bucket-selective
+    compaction never rewrites termstats (chunk merging preserves df/cf
+    sums), so on a long append stream the delta rows are the one thing
+    left growing; folding them turns every subsequent cold batch query's
+    merge-on-read aggregate back into a plain scan."""
+    if catalog.use_iceberg or "://" in catalog.root:
+        raise NotImplementedError(
+            "compact_termstats swaps local directories; for Iceberg/remote "
+            "catalogs use MERGE INTO / the format's rewrite action")
+    recover_table(catalog, "termstats")
+    merged = read_termstats(spark, catalog)
+    tmp = catalog.path("termstats__compacting")
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)   # materialized BEFORE swap
+    _swap_dir(tmp, catalog.path("termstats"))
+    catalog._append_snapshot({"table": "termstats", "fingerprint": "compact",
+                              "committed_at": time.time()})
+
+
 def compact_postings(spark: SparkSession, catalog: Catalog,
                      cfg: IndexConfig,
                      buckets: list[int] | None = None) -> None:
