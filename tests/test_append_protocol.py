@@ -203,6 +203,52 @@ def test_crash_at_every_move_step(spark, tmp_path, monkeypatch):
         assert info.get("skipped") is True
 
 
+def test_reader_mid_move_sees_pre_epoch_snapshot(spark, tmp_path,
+                                                 monkeypatch):
+    """Snapshot isolation vs a concurrent appender: a reader that opens
+    while the move phase is in flight (commit marker written, only SOME
+    tables' files published) must see the exact pre-append state across
+    ALL tables — moved files carry the epoch tag and read_table excludes
+    committed-but-not-done epochs. After recovery the same reader code
+    sees the full post-append state."""
+    cat = _build(spark, tmp_path)
+    r0 = IndexReader(spark, cat)
+    n0 = r0.n_docs
+    q = [("q", "spark index data")]
+    before = [(r["docid"], round(r["score"], 10))
+              for r in search_fast(r0, q, SearchParams(k=10)).collect()]
+
+    real_move = incremental._move_parquet_files
+    moved = [0]
+
+    def crashing_move(stage_dir, live_dir, tag):
+        if moved[0] == 3:      # docmap+doclens+postings in, stats/ts not
+            raise RuntimeError("simulated crash mid-move")
+        moved[0] += 1
+        real_move(stage_dir, live_dir, tag)
+
+    monkeypatch.setattr(incremental, "_move_parquet_files", crashing_move)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        append_pages_batch(spark, _batch(spark, 15, 120, "isodoc"), cat,
+                           CFG, epoch_tag="iso-e0")
+    monkeypatch.setattr(incremental, "_move_parquet_files", real_move)
+    assert "iso-e0" in cat.pending_epoch_tags()
+
+    # a reader opening NOW (writer mid-move / crashed) sees pre-epoch state
+    r1 = IndexReader(spark, cat)
+    assert r1.n_docs == n0
+    assert cat.read_table(spark, "docmap").count() == n0
+    mid = [(r["docid"], round(r["score"], 10))
+           for r in search_fast(r1, q, SearchParams(k=10)).collect()]
+    assert mid == before
+
+    assert recover_appends(cat) is True
+    assert not cat.pending_epoch_tags()
+    r2 = IndexReader(spark, cat)
+    assert r2.n_docs == n0 + 15
+    assert cat.read_table(spark, "docmap").count() == n0 + 15
+
+
 def test_abandoned_staging_is_cleared(spark, tmp_path):
     """Staging dirs without a commit marker (crash during the stage phase)
     are discarded by recovery — the epoch will be fully redone."""

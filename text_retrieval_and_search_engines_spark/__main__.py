@@ -109,10 +109,12 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.incremental import (append_pages_batch,
                                             compact_postings,
                                             stream_pages_into_index)
-        srow = catalog.read_table(spark, "stats").collect()[0]
+        from .plans.index_build import read_stats_row
+        srow = read_stats_row(spark, catalog)
 
         def _opt(name, default):
-            return srow[name] if name in srow.__fields__ else default
+            v = srow[name] if name in srow.__fields__ else None
+            return v if v is not None else default
 
         cfg = IndexConfig(range_size=int(srow["range_size"]),
                           block=int(srow["block"]),

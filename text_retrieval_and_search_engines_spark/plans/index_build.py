@@ -54,6 +54,28 @@ POSTINGS_SCHEMA = (
     "toff array<int>, doff array<int>, build_partition int, build_ms double"
 )
 
+# stats is a single-logical-row table; appends ADD one tag-prefixed row per
+# epoch (running counters), so the live row is the one with the highest
+# next_docid — see read_stats_row. The explicit schema also covers legacy
+# 6-column base rows (missing counters read back as null).
+STATS_SCHEMA = (
+    "n_docs long, avgdl double, range_size long, block int, "
+    "n_term_buckets int, analyzer string, total_dl double, next_docid long"
+)
+
+
+def read_stats_row(spark: SparkSession, catalog: "Catalog"):
+    """The LIVE stats row: appends leave one row per epoch (append-mode
+    like every other table, so the whole epoch publishes atomically under
+    the done marker); the newest is the max next_docid (strictly
+    monotone per non-empty append; ties are byte-identical rows). Legacy
+    single-row tables pass through untouched."""
+    rows = catalog.read_table(spark, "stats", schema=STATS_SCHEMA).collect()
+    if len(rows) == 1:
+        return rows[0]
+    return max(rows, key=lambda r: (r["next_docid"] if r["next_docid"]
+                                    is not None else -1, r["n_docs"]))
+
 
 def term_bucket(term: str, n_buckets: int) -> int:
     """Pinned term->bucket hash (md5-based, same family as operators/dedup).
@@ -662,19 +684,25 @@ def build_index(spark: SparkSession, pages: DataFrame, catalog: Catalog,
                            lineage_from_postings(postings), "lineage", fp)
             f4 = ex.submit(lambda: doc_tokens.agg(
                 F.count("*").alias("n_docs"),
-                F.avg("dl").alias("avgdl")).collect()[0])
+                F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("total_dl"),
+                F.max("docid").alias("max_docid")).collect()[0])
             f1.result(), f2.result(), f3.result()
             agg = f4.result()
         postings.unpersist()
+        # full STATS_SCHEMA row (total_dl/next_docid running counters) so
+        # append-mode stats rows share one schema with the base row
         stats = spark.createDataFrame(
             [(int(agg["n_docs"]), float(agg["avgdl"] or 0.0),
-              cfg.range_size, cfg.block, cfg.n_term_buckets, cfg.analyzer)],
-            "n_docs long, avgdl double, range_size long, block int, "
-            "n_term_buckets int, analyzer string")
+              cfg.range_size, cfg.block, cfg.n_term_buckets, cfg.analyzer,
+              float(agg["total_dl"] or 0.0),
+              int(agg["max_docid"] if agg["max_docid"] is not None
+                  else -1) + 1)],
+            STATS_SCHEMA)
         catalog.write_table(stats, "stats", fingerprint=fp)
         phase_sec["meta"] = round(time.perf_counter() - t_m, 2)
 
-    srow = catalog.read_table(spark, "stats").collect()[0]
+    srow = read_stats_row(spark, catalog)
     return {
         "n_docs": srow["n_docs"],
         "avgdl": srow["avgdl"],

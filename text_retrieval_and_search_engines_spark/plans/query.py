@@ -76,14 +76,15 @@ class IndexReader:
                                  or "").startswith("append-delta")
         self.termstats = read_termstats(spark, catalog)
         self.docmap = catalog.read_table(spark, "docmap")
-        row = catalog.read_table(spark, "stats").collect()[0]
+        from .index_build import read_stats_row
+        row = read_stats_row(spark, catalog)
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
         self.range_size = int(row["range_size"])
         self.n_term_buckets = int(row["n_term_buckets"]) \
-            if "n_term_buckets" in row.__fields__ else 0
+            if row["n_term_buckets"] is not None else 0
         self.analyzer = (row["analyzer"]
-                         if "analyzer" in row.__fields__ else "english")
+                         if row["analyzer"] is not None else "english")
         # driver-side term->df memo (Lucene term-dictionary-cache analogue):
         # absent terms cache as None so repeated OOV queries stay job-free.
         # Snapshot semantics: tied to THIS reader — reopen the reader after

@@ -81,16 +81,50 @@ class Catalog:
             "committed_at": time.time(),
         })
 
+    def pending_epoch_tags(self) -> set[str]:
+        """Append epochs that wrote their commit marker but not their done
+        marker — i.e. a writer is mid-move (or crashed mid-move). Their
+        files are already tag-prefixed in the live dirs; readers exclude
+        them for an epoch-atomic snapshot view (Iceberg semantics)."""
+        done, com = set(), set()
+        for s in self._load_manifest()["snapshots"]:
+            if s["table"] != "_epochs":
+                continue
+            fp = s["fingerprint"]
+            if fp.endswith(":done"):
+                done.add(fp[:-5])
+            elif fp.endswith(":commit"):
+                com.add(fp[:-7])
+        return com - done
+
     def read_table(self, spark: SparkSession, table: str,
                    schema: str | None = None) -> DataFrame:
         """`schema` (DDL string) makes the read robust to a VALID empty
         table: a partitionBy write with zero rows leaves only _SUCCESS, and
-        schema inference fails on it (e.g. a fully lang-filtered corpus)."""
+        schema inference fails on it (e.g. a fully lang-filtered corpus).
+
+        Snapshot isolation vs a concurrent appender: files published by a
+        committed-but-not-done epoch (the append move phase) are excluded,
+        so a reader opening mid-move sees the exact pre-epoch state across
+        every table. Zero overhead when no append is in flight (the common
+        case reads the plain directory)."""
         if self.use_iceberg:
             return spark.read.format("iceberg").load(f"{self.iceberg_namespace}.{table}")
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
+        pending = self.pending_epoch_tags() if "://" not in self.root else ()
+        if pending:
+            import glob as _glob
+            base = self.path(table)
+            files = [f for f in _glob.glob(os.path.join(base, "**",
+                                                        "*.parquet"),
+                                           recursive=True)
+                     if not any(os.path.basename(f).startswith(t + "-")
+                                for t in pending)]
+            if files:
+                # basePath keeps partition-dir columns (e.g. term_bucket)
+                return reader.option("basePath", base).parquet(*files)
         return reader.parquet(self.path(table))
 
     def prune_manifest(self, keep_epochs: int = 100) -> int:

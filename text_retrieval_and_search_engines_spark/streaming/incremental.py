@@ -49,9 +49,14 @@ from ..plans.index_build import (IndexConfig, assign_docids, build_postings,
                                  tokenize_docs)
 from ..sources.tables import Catalog
 
-# tables an append touches, in move order (stats last: its swap publishes
-# the new next_docid only after every data file is live)
-_APPEND_TABLES = ("docmap", "doclens", "postings", "termstats", "lineage")
+# tables an append touches, in move order (stats last: its row publishes
+# the new next_docid only after every data file is live). stats is
+# append-mode like the rest — one tag-prefixed single-row file per epoch,
+# readers take the row with the highest next_docid (monotone per append) —
+# so the whole epoch is covered by ONE visibility rule (see Catalog
+# .read_table pending-epoch exclusion) instead of a special swap.
+_APPEND_TABLES = ("docmap", "doclens", "postings", "termstats", "lineage",
+                  "stats")
 
 
 def read_termstats(spark: SparkSession, catalog: Catalog) -> DataFrame:
@@ -97,14 +102,15 @@ def _move_parquet_files(stage_dir: str, live_dir: str, tag: str) -> None:
 def _apply_commit(catalog: Catalog, entry: dict) -> None:
     """Move phase of the two-phase append: publish every staged dir recorded
     in the commit marker, then write the done marker. Safe to re-run after a
-    crash at any point (file moves are individually atomic and idempotent;
-    the stats swap recovers through recover_table).
+    crash at any point (file moves are individually atomic and idempotent).
 
-    Isolation note: a CONCURRENT reader that opens mid-move can observe the
-    new postings before the new termstats deltas (single-writer semantics;
-    writer-crash consistency is what the protocol guarantees). A real
-    Iceberg catalog makes the publish a single atomic snapshot commit —
-    that is exactly what the `use_iceberg` switch buys at deployment."""
+    Isolation: every moved file carries the epoch tag in its name, and
+    ``Catalog.read_table`` excludes files of committed-but-not-done epochs,
+    so a CONCURRENT reader that opens mid-move still sees the exact
+    pre-epoch snapshot across ALL tables (stats included — it is a
+    tag-prefixed appended row like everything else). The done marker is
+    the publish point. A real Iceberg catalog replaces this with its
+    native atomic snapshot commit — the `use_iceberg` switch."""
     tag = entry["epoch_tag"]
     for table in entry["tables"]:
         _move_parquet_files(_stage_path(catalog, table, tag),
@@ -114,14 +120,10 @@ def _apply_commit(catalog: Catalog, entry: dict) -> None:
                 "table": "termstats",
                 "fingerprint": f"append-delta:{tag}",
                 "committed_at": time.time()})
-    # stats is a whole-table swap, not a file append
-    stats_stage = _stage_path(catalog, "stats", tag)
-    recover_table(catalog, "stats")
-    if os.path.isdir(stats_stage):
-        _swap_dir(stats_stage, catalog.path("stats"))
-        catalog._append_snapshot({"table": "stats",
-                                  "fingerprint": f"append:{tag}",
-                                  "committed_at": time.time()})
+        elif table == "stats":
+            catalog._append_snapshot({"table": "stats",
+                                      "fingerprint": f"append:{tag}",
+                                      "committed_at": time.time()})
     catalog._append_snapshot({"table": "_epochs",
                               "fingerprint": f"{tag}:done",
                               "committed_at": time.time()})
@@ -184,8 +186,9 @@ def append_pages_batch(spark: SparkSession, batch: DataFrame,
         recover_table(catalog, t)
     tag = epoch_tag or uuid.uuid4().hex[:12]
 
-    srow = catalog.read_table(spark, "stats").collect()[0]
-    base = int(srow["next_docid"]) if "next_docid" in srow.__fields__ else (
+    from ..plans.index_build import read_stats_row
+    srow = read_stats_row(spark, catalog)
+    base = int(srow["next_docid"]) if srow["next_docid"] is not None else (
         (catalog.read_table(spark, "docmap")
          .agg(F.max("docid")).collect()[0][0] or -1) + 1)
 
@@ -268,10 +271,11 @@ def _stage_stats(spark: SparkSession, catalog: Catalog, cfg: IndexConfig,
     """Running-counter stats update staged aside: n_docs/total_dl/next_docid
     carry forward so appends never rescan doclens. Preserves the analyzer
     column (ADVICE r1: dropping it silently downgraded query analysis)."""
+    from ..plans.index_build import STATS_SCHEMA
     old_n = int(srow["n_docs"])
-    old_total = (float(srow["total_dl"]) if "total_dl" in srow.__fields__
+    old_total = (float(srow["total_dl"]) if srow["total_dl"] is not None
                  else float(srow["avgdl"]) * old_n)
-    analyzer = (srow["analyzer"] if "analyzer" in srow.__fields__
+    analyzer = (srow["analyzer"] if srow["analyzer"] is not None
                 else cfg.analyzer)
     n_docs = old_n + n_new
     total_dl = old_total + dl_new
@@ -279,9 +283,7 @@ def _stage_stats(spark: SparkSession, catalog: Catalog, cfg: IndexConfig,
         [(n_docs, (total_dl / n_docs) if n_docs else 0.0, cfg.range_size,
           cfg.block, cfg.n_term_buckets, analyzer, total_dl,
           base + n_new)],
-        "n_docs long, avgdl double, range_size long, block int, "
-        "n_term_buckets int, analyzer string, total_dl double, "
-        "next_docid long")
+        STATS_SCHEMA)
     stats.write.mode("overwrite").parquet(_stage_path(catalog, "stats", tag))
 
 
@@ -401,6 +403,19 @@ def recover_postings_buckets(catalog: Catalog) -> int:
     return n
 
 
+def _fold_stats(spark: SparkSession, catalog: Catalog) -> None:
+    """Rewrite stats to its single live row (appends leave one row per
+    epoch; compaction folds them, same as termstats deltas)."""
+    from ..plans.index_build import STATS_SCHEMA, read_stats_row
+    recover_table(catalog, "stats")
+    row = read_stats_row(spark, catalog)
+    df = spark.createDataFrame([tuple(row)], STATS_SCHEMA)
+    tmp = catalog.path("stats__compacting")
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    _swap_dir(tmp, catalog.path("stats"))
+
+
 def compact_termstats(spark: SparkSession, catalog: Catalog) -> None:
     """Fold termstats append-delta rows into ONE base row per term without
     touching postings — O(vocab) I/O, nothing else. This is the companion
@@ -419,6 +434,7 @@ def compact_termstats(spark: SparkSession, catalog: Catalog) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)   # materialized BEFORE swap
     _swap_dir(tmp, catalog.path("termstats"))
+    _fold_stats(spark, catalog)
     catalog._append_snapshot({"table": "termstats", "fingerprint": "compact",
                               "committed_at": time.time()})
 
@@ -658,5 +674,6 @@ def compact_postings(spark: SparkSession, catalog: Catalog,
     shutil.rmtree(ts_tmp, ignore_errors=True)
     ts.write.mode("overwrite").parquet(ts_tmp)
     _swap_dir(ts_tmp, catalog.path("termstats"))
+    _fold_stats(spark, catalog)
     catalog._append_snapshot({"table": "termstats", "fingerprint": "compact",
                               "committed_at": time.time()})
