@@ -214,15 +214,24 @@ def append_pages_batch(spark: SparkSession, batch: DataFrame,
                                      lineage_from_postings)
 
     docs = docs.persist()
-    docs.count()                    # materialize ONCE before threads share it
+    n_rows = docs.count()           # materialize ONCE before threads share it
+    # small-files guard for long streams: docmap/doclens rows ride the
+    # batch's task partitioning (e.g. 32 files for a 2k-doc micro-batch →
+    # millions of tiny files over 10^5 epochs). Coalesce the staged writes
+    # to ~500k rows/file; coalesce on the persisted frames merges cached
+    # partitions without recompute. termstats/lineage are already small
+    # (AQE-coalesced aggregate outputs); postings stays bucket-aligned.
+    parts = max(1, -(-n_rows // 500_000))
     doc_tokens = tokenize_docs(docs, cfg.analyzer).persist()
     with ThreadPoolExecutor(4) as ex:
         f_docmap = ex.submit(
-            lambda: docs.select("docid", "url").write.mode("overwrite")
+            lambda: docs.select("docid", "url").coalesce(parts)
+            .write.mode("overwrite")
             .parquet(_stage_path(catalog, "docmap", tag)))
         doc_tokens.count()          # materialize before the dependent jobs
         f_doclens = ex.submit(
-            lambda: doc_tokens.select("docid", "dl").write.mode("overwrite")
+            lambda: doc_tokens.select("docid", "dl").coalesce(parts)
+            .write.mode("overwrite")
             .parquet(_stage_path(catalog, "doclens", tag)))
         # per-batch termstats DELTA rows — O(batch vocab), merged on read
         f_ts = ex.submit(
