@@ -88,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="compact only the term_buckets that hold "
                           "multi-chunk groups, one bucket swap at a time "
                           "(bounded I/O; termstats deltas stay, folded on "
-                          "the next full compact)")
+                          "the next full compact or --termstats)")
+    p_c.add_argument("--termstats", action="store_true",
+                     help="fold termstats delta rows (and per-epoch stats "
+                          "rows) only — O(vocab) I/O, postings untouched")
 
     args = ap.parse_args(argv)
     spark = get_spark(f"engine-{args.cmd}", master=args.master)
@@ -123,6 +126,11 @@ def main(argv: list[str] | None = None) -> int:
                           langs=(), recompute_text=False,
                           materialize_docs=False)
         if args.cmd == "compact":
+            if getattr(args, "termstats", False):
+                from .streaming.incremental import compact_termstats
+                compact_termstats(spark, catalog)
+                print("compacted termstats")
+                return 0
             if getattr(args, "incremental", False):
                 from .streaming.incremental import buckets_needing_compaction
                 work = buckets_needing_compaction(spark, catalog)
