@@ -319,6 +319,41 @@ def test_compact_termstats_alone_folds_deltas(spark, tmp_path):
         [(r["docid"], round(r["score"], 10)) for r in before]
 
 
+def test_compact_merges_groups_spanning_arrow_batches(spark, tmp_path):
+    """The compaction kernel holds an open (term, range) group across Arrow
+    batch boundaries (the `held` buffer). 10 overlapping-vocab appends give
+    common terms ~11 chunk rows per group; shrinking maxRecordsPerBatch to 4
+    forces every such group to span batches — including the
+    whole-batch-continues-the-group path. Post-compact: one chunk per
+    group, identical query results."""
+    cat = _build(spark, tmp_path, n=20, seed=501)
+    for i in range(10):
+        p = synth_pages(8, seed=510 + i, vocab_size=150)
+        p["url"] = p["url"].str.replace("doc", f"sp{i}doc")
+        append_pages_batch(spark, spark.createDataFrame(p), cat, CFG)
+    reader = IndexReader(spark, cat)
+    q = [("q", "spark index data")]
+    before = [(r["docid"], round(r["score"], 10))
+              for r in search_fast(reader, q, SearchParams(k=10)).collect()]
+    big = (reader.postings.groupBy("term", "range_id").count()
+           .filter("count >= 6").count())
+    assert big > 0          # scenario is real: groups wider than the batch
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        compact_postings(spark, cat, CFG)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    reader2 = IndexReader(spark, cat)
+    assert (reader2.postings.groupBy("term", "range_id").count()
+            .filter("count > 1").count()) == 0
+    after = [(r["docid"], round(r["score"], 10))
+             for r in search_fast(reader2, q, SearchParams(k=10)).collect()]
+    assert after == before
+
+
 def test_merge_on_read_only_when_deltas_exist(spark, tmp_path):
     """A purely batch-built index must NOT pay the merge-on-read aggregate
     (cold-query cost contract); after an append the aggregate appears;
@@ -335,6 +370,26 @@ def test_merge_on_read_only_when_deltas_exist(spark, tmp_path):
     assert has_agg()                     # deltas present: aggregate on read
     compact_postings(spark, cat, CFG)
     assert not has_agg()                 # folded back to base rows
+
+
+def test_stats_autofold_bounds_file_count(spark, tmp_path, monkeypatch):
+    """stats accrues one single-row file per epoch; once the pile crosses
+    _STATS_FOLD_THRESHOLD the append folds it back to one file so
+    read_stats_row stays O(1) on unbounded streams. Counters must carry
+    through the fold exactly."""
+    monkeypatch.setattr(incremental, "_STATS_FOLD_THRESHOLD", 2)
+    cat = _build(spark, tmp_path)
+    for i in range(4):
+        append_pages_batch(spark, _batch(spark, 5, 130 + i, f"sf{i}doc"),
+                           cat, CFG)
+    n_files = len(glob.glob(os.path.join(cat.path("stats"), "**",
+                                         "*.parquet"), recursive=True))
+    assert n_files <= 3     # folded (not 5 = base + 4 epochs)
+    from text_retrieval_and_search_engines_spark.plans.index_build import (
+        read_stats_row)
+    srow = read_stats_row(spark, cat)
+    assert int(srow["n_docs"]) == 60
+    assert int(srow["next_docid"]) == 60
 
 
 def test_recover_table_generalizes(spark, tmp_path):

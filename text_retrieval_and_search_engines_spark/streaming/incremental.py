@@ -58,6 +58,9 @@ from ..sources.tables import Catalog
 _APPEND_TABLES = ("docmap", "doclens", "postings", "termstats", "lineage",
                   "stats")
 
+# fold per-epoch stats rows back to one file once this many pile up
+_STATS_FOLD_THRESHOLD = 64
+
 
 def read_termstats(spark: SparkSession, catalog: Catalog) -> DataFrame:
     """termstats with merge-on-read: appended delta rows (one per batch
@@ -272,6 +275,17 @@ def append_pages_batch(spark: SparkSession, batch: DataFrame,
               "committed_at": time.time()}
     catalog._append_snapshot(commit)
     _apply_commit(catalog, commit)
+    # stats accrues one single-row file per epoch; fold it back to one file
+    # once the pile is noticeable so read_stats_row (every reader open and
+    # every append) stays O(1) on unbounded streams even if the operator
+    # never runs compact_termstats. O(epochs-since-fold) tiny rows, driver
+    # swap, crash-healed by recover_table("stats") on the next open.
+    if not catalog.use_iceberg and "://" not in catalog.root:
+        n_stat_files = len(glob.glob(
+            os.path.join(catalog.path("stats"), "**", "*.parquet"),
+            recursive=True))
+        if n_stat_files > _STATS_FOLD_THRESHOLD:
+            _fold_stats(spark, catalog)
     return {"appended_docs": n_new, "base_docid": base}
 
 
