@@ -428,7 +428,11 @@ def recover_postings_buckets(catalog: Catalog) -> int:
 
 def _fold_stats(spark: SparkSession, catalog: Catalog) -> None:
     """Rewrite stats to its single live row (appends leave one row per
-    epoch; compaction folds them, same as termstats deltas)."""
+    epoch; compaction folds them, same as termstats deltas). Like every
+    dir swap here, the two-rename window is not reader-atomic (a reader
+    opening in that microsecond window retries/fails; crash recovery via
+    recover_table) — Iceberg's atomic snapshot commit replaces this at
+    deployment."""
     from ..plans.index_build import STATS_SCHEMA, read_stats_row
     recover_table(catalog, "stats")
     row = read_stats_row(spark, catalog)
