@@ -565,10 +565,20 @@ def test_manifest_pruning_bounds_epoch_entries(spark, tmp_path):
                               "fingerprint": f"append:{tag}"})
         cat._append_snapshot({"table": "_epochs",
                               "fingerprint": f"{tag}:done"})
+    # one PENDING epoch (commit marker, no done): pruning must preserve it
+    # — dropping the commit marker would make its already-published files
+    # permanently invisible to pending_epoch_tags/recover_appends
+    cat._append_snapshot({"table": "_epochs",
+                          "fingerprint": "pend0:commit",
+                          "epoch_tag": "pend0", "tables": []})
     dropped = cat.prune_manifest(keep_epochs=50)
     assert dropped == 150 * 4
+    assert cat.pending_epoch_tags() == {"pend0"}
+    # clear the synthetic pending epoch (its :done closes the protocol)
+    cat._append_snapshot({"table": "_epochs", "fingerprint": "pend0:done"})
+    assert not cat.pending_epoch_tags()
     snaps = cat._load_manifest()["snapshots"]
-    assert len(snaps) == base_entries + 50 * 4
+    assert len(snaps) == base_entries + 50 * 4 + 2   # +2: pend0 commit+done
     # merge-on-read switch survives: latest termstats entry is still a delta
     assert (cat.latest_fingerprint("termstats") or "").startswith(
         "append-delta")
