@@ -249,6 +249,104 @@ def test_reader_mid_move_sees_pre_epoch_snapshot(spark, tmp_path,
     assert cat.read_table(spark, "docmap").count() == n0 + 15
 
 
+def test_compact_termstats_completes_crashed_epoch_first(spark, tmp_path,
+                                                         monkeypatch):
+    """compact_termstats on a catalog with a committed-but-unfinished epoch
+    (writer crashed mid-move) must complete that epoch BEFORE swapping the
+    live dirs — otherwise the epoch's already-moved termstats delta file
+    is excluded from the fold, destroyed by the swap, and its postings
+    later published without df/cf (review finding r3c)."""
+    cat = _build(spark, tmp_path)
+    real_move = incremental._move_parquet_files
+    moved = [0]
+
+    def crashing_move(stage_dir, live_dir, tag):
+        if moved[0] == 4:    # docmap+doclens+postings+termstats in
+            raise RuntimeError("simulated crash mid-move")
+        moved[0] += 1
+        real_move(stage_dir, live_dir, tag)
+
+    monkeypatch.setattr(incremental, "_move_parquet_files", crashing_move)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        append_pages_batch(spark, _batch(spark, 15, 160, "ctxdoc"), cat,
+                           CFG, epoch_tag="ctx-e0")
+    monkeypatch.setattr(incremental, "_move_parquet_files", real_move)
+    assert "ctx-e0" in cat.pending_epoch_tags()
+
+    incremental.compact_termstats(spark, cat)
+
+    assert epoch_applied(cat, "ctx-e0")
+    reader = IndexReader(spark, cat)
+    assert reader.n_docs == 55
+    full = (reader.postings.groupBy("term")
+            .agg(F.sum("df_chunk").alias("df0")))
+    diff = (full.join(reader.termstats, "term", "full")
+            .filter(F.col("df0").isNull() | F.col("df").isNull()
+                    | (F.col("df0") != F.col("df"))).count())
+    assert diff == 0
+
+
+def test_read_table_all_files_pending_is_empty(spark, tmp_path):
+    """If EVERY file of a table belongs to a pending epoch (e.g. a validly
+    empty base table receiving its first append), the snapshot view is an
+    empty table — not a fallback to the unfiltered directory (review
+    finding r3c)."""
+    cat = Catalog(str(tmp_path / "pcat"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    cat.write_table(df, "tbl")
+    # rename every file as epoch p1's and leave p1 committed-but-not-done
+    for f in glob.glob(os.path.join(cat.path("tbl"), "*.parquet")):
+        os.rename(f, os.path.join(os.path.dirname(f),
+                                  "p1__" + os.path.basename(f)))
+    cat._append_snapshot({"table": "_epochs", "fingerprint": "p1:commit",
+                          "epoch_tag": "p1", "tables": ["tbl"]})
+    assert cat.pending_epoch_tags() == {"p1"}
+    assert cat.read_table(spark, "tbl", schema="id long, v string"
+                          ).count() == 0
+    assert cat.read_table(spark, "tbl").count() == 0
+    # done marker publishes the epoch: rows visible again
+    cat._append_snapshot({"table": "_epochs", "fingerprint": "p1:done"})
+    assert cat.read_table(spark, "tbl").count() == 1
+
+
+def test_recover_legacy_commit_without_stats_table(spark, tmp_path):
+    """A commit marker persisted by the pre-append-mode-stats protocol
+    (tables list without 'stats'; stats staged as a whole-dir swap) must
+    still publish its staged stats when replayed after upgrade (review
+    finding r3c)."""
+    cat = _build(spark, tmp_path)
+    from text_retrieval_and_search_engines_spark.plans.index_build import (
+        STATS_SCHEMA, read_stats_row)
+    old = read_stats_row(spark, cat)
+    # stage an old-style stats dir with a bumped next_docid
+    new_row = (int(old["n_docs"]) + 7, float(old["avgdl"]),
+               int(old["range_size"]), int(old["block"]),
+               int(old["n_term_buckets"]), old["analyzer"],
+               float(old["total_dl"]), int(old["next_docid"]) + 7)
+    spark.createDataFrame([new_row], STATS_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(
+            incremental._stage_path(cat, "stats", "legacy0"))
+    cat._append_snapshot({
+        "table": "_epochs", "fingerprint": "legacy0:commit",
+        "epoch_tag": "legacy0",
+        "tables": ["docmap", "doclens", "postings", "termstats",
+                   "lineage"]})          # no 'stats' — old protocol
+    assert recover_appends(cat) is True
+    assert epoch_applied(cat, "legacy0")
+    srow = read_stats_row(spark, cat)
+    assert int(srow["next_docid"]) == int(old["next_docid"]) + 7
+    assert int(srow["n_docs"]) == int(old["n_docs"]) + 7
+
+
+def test_epoch_tag_validation(spark, tmp_path):
+    """Tags become the '__'-separated filename prefix; '__' inside a tag
+    would alias another tag's files in the reader-side exclusion."""
+    cat = _build(spark, tmp_path)
+    with pytest.raises(ValueError, match="invalid epoch tag"):
+        append_pages_batch(spark, _batch(spark, 5, 170, "vtdoc"), cat,
+                           CFG, epoch_tag="bad__tag")
+
+
 def test_abandoned_staging_is_cleared(spark, tmp_path):
     """Staging dirs without a commit marker (crash during the stage phase)
     are discarded by recovery — the epoch will be fully redone."""

@@ -116,7 +116,9 @@ def main(argv: list[str] | None = None) -> int:
         srow = read_stats_row(spark, catalog)
 
         def _opt(name, default):
-            v = srow[name] if name in srow.__fields__ else None
+            # read_stats_row reads the full STATS_SCHEMA; legacy catalogs
+            # surface missing counters as nulls, not missing fields
+            v = srow[name]
             return v if v is not None else default
 
         cfg = IndexConfig(range_size=int(srow["range_size"]),

@@ -85,7 +85,19 @@ class Catalog:
         """Append epochs that wrote their commit marker but not their done
         marker — i.e. a writer is mid-move (or crashed mid-move). Their
         files are already tag-prefixed in the live dirs; readers exclude
-        them for an epoch-atomic snapshot view (Iceberg semantics)."""
+        them for an epoch-atomic snapshot view (Iceberg semantics).
+
+        Cached on the manifest file's mtime: read_table calls this on
+        every open, and re-parsing the JSON per table would tax every
+        reader for a condition that is almost always 'no append in
+        flight'."""
+        try:
+            mt = os.path.getmtime(self._manifest_path)
+        except OSError:
+            return set()
+        cached = getattr(self, "_pending_cache", None)
+        if cached is not None and cached[0] == mt:
+            return cached[1]
         done, com = set(), set()
         for s in self._load_manifest()["snapshots"]:
             if s["table"] != "_epochs":
@@ -95,7 +107,9 @@ class Catalog:
                 done.add(fp[:-5])
             elif fp.endswith(":commit"):
                 com.add(fp[:-7])
-        return com - done
+        tags = com - done
+        self._pending_cache = (mt, tags)
+        return tags
 
     def read_table(self, spark: SparkSession, table: str,
                    schema: str | None = None) -> DataFrame:
@@ -114,17 +128,26 @@ class Catalog:
         if schema is not None:
             reader = reader.schema(schema)
         pending = self.pending_epoch_tags() if "://" not in self.root else ()
-        if pending:
+        base = self.path(table)
+        if pending and os.path.isdir(base):
             import glob as _glob
-            base = self.path(table)
+            # "__" separates tag from original filename; tags may not
+            # contain "__" (validated at append), so tag A's files can
+            # never be shadowed by a tag that A prefixes
             files = [f for f in _glob.glob(os.path.join(base, "**",
                                                         "*.parquet"),
                                            recursive=True)
-                     if not any(os.path.basename(f).startswith(t + "-")
+                     if not any(os.path.basename(f).startswith(t + "__")
                                 for t in pending)]
             if files:
                 # basePath keeps partition-dir columns (e.g. term_bucket)
                 return reader.option("basePath", base).parquet(*files)
+            # every file belongs to a pending epoch: the pre-epoch state is
+            # an empty (but valid) table — falling back to the plain dir
+            # read here would expose exactly the files just excluded
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            return reader.parquet(base).limit(0)
         return reader.parquet(self.path(table))
 
     def prune_manifest(self, keep_epochs: int = 100) -> int:

@@ -83,10 +83,21 @@ def _stage_path(catalog: Catalog, table: str, tag: str) -> str:
     return catalog.path(f"{table}__stage_{tag}")
 
 
+def _check_tag(tag: str) -> str:
+    """Epoch tags become filename prefixes ``{tag}__{orig}``; "__" inside a
+    tag would make one tag's files indistinguishable from another's in the
+    reader-side pending-epoch exclusion (tag "a" vs tag "a__b")."""
+    if not tag or "__" in tag or "/" in tag:
+        raise ValueError(f"invalid epoch tag {tag!r}: must be non-empty "
+                         "and contain neither '__' nor '/'")
+    return tag
+
+
 def _move_parquet_files(stage_dir: str, live_dir: str, tag: str) -> None:
     """Move staged part files into the live table dir (preserving partition
-    subdirs) under epoch-unique names. Idempotent: a re-run after a partial
-    move only finds (and moves) the files that were not moved yet."""
+    subdirs) under epoch-unique names ``{tag}__{orig}``. Idempotent: a
+    re-run after a partial move only finds (and moves) the files that were
+    not moved yet."""
     if not os.path.isdir(stage_dir):
         return
     for root, _dirs, files in os.walk(stage_dir):
@@ -98,7 +109,7 @@ def _move_parquet_files(stage_dir: str, live_dir: str, tag: str) -> None:
                         os.path.join(live_dir, rel))
             os.makedirs(dest_dir, exist_ok=True)
             os.replace(os.path.join(root, fn),
-                       os.path.join(dest_dir, f"{tag}-{fn}"))
+                       os.path.join(dest_dir, f"{tag}__{fn}"))
     shutil.rmtree(stage_dir, ignore_errors=True)
 
 
@@ -124,6 +135,19 @@ def _apply_commit(catalog: Catalog, entry: dict) -> None:
                 "fingerprint": f"append-delta:{tag}",
                 "committed_at": time.time()})
         elif table == "stats":
+            catalog._append_snapshot({"table": "stats",
+                                      "fingerprint": f"append:{tag}",
+                                      "committed_at": time.time()})
+    if "stats" not in entry["tables"]:
+        # compat: a commit marker persisted by the pre-append-mode-stats
+        # protocol (stats staged as a whole-dir swap, not in the move
+        # list). Without this, replaying such a marker would mark the
+        # epoch done with its stats update silently dropped — stale
+        # next_docid and docid collisions on the next append.
+        stats_stage = _stage_path(catalog, "stats", tag)
+        recover_table(catalog, "stats")
+        if os.path.isdir(stats_stage):
+            _swap_dir(stats_stage, catalog.path("stats"))
             catalog._append_snapshot({"table": "stats",
                                       "fingerprint": f"append:{tag}",
                                       "committed_at": time.time()})
@@ -178,6 +202,8 @@ def append_pages_batch(spark: SparkSession, batch: DataFrame,
     leaves the index either fully pre- or fully post-batch after
     ``recover_appends``.
     """
+    if epoch_tag is not None:
+        _check_tag(epoch_tag)
     if epoch_tag is not None and epoch_applied(catalog, epoch_tag):
         return {"appended_docs": 0, "base_docid": -1, "skipped": True}
     recover_appends(catalog)
@@ -427,20 +453,36 @@ def recover_postings_buckets(catalog: Catalog) -> int:
 
 
 def _fold_stats(spark: SparkSession, catalog: Catalog) -> None:
-    """Rewrite stats to its single live row (appends leave one row per
-    epoch; compaction folds them, same as termstats deltas). Like every
-    dir swap here, the two-rename window is not reader-atomic (a reader
-    opening in that microsecond window retries/fails; crash recovery via
-    recover_table) — Iceberg's atomic snapshot commit replaces this at
-    deployment."""
+    """Fold the per-epoch stats rows to one file IN PLACE, reader-safely:
+    write the live row (max next_docid) as one new file moved in under a
+    fold tag, then unlink the superseded files one by one. At every
+    instant the directory contains at least one copy of the live row and
+    nothing newer, and read_stats_row's max-next_docid pick is unaffected
+    by the transient duplicate — no rename window in which the table is
+    missing (a dir swap here would break the concurrent-reader guarantee
+    the append protocol gives). Crash anywhere just leaves extra
+    already-superseded rows for the next fold."""
     from ..plans.index_build import STATS_SCHEMA, read_stats_row
     recover_table(catalog, "stats")
     row = read_stats_row(spark, catalog)
-    df = spark.createDataFrame([tuple(row)], STATS_SCHEMA)
-    tmp = catalog.path("stats__compacting")
+    live = catalog.path("stats")
+    before = set(glob.glob(os.path.join(live, "**", "*.parquet"),
+                           recursive=True))
+    fold_tag = f"fold{uuid.uuid4().hex[:10]}"
+    tmp = catalog.path(f"stats__folding_{fold_tag}")
     shutil.rmtree(tmp, ignore_errors=True)
-    df.write.mode("overwrite").parquet(tmp)
-    _swap_dir(tmp, catalog.path("stats"))
+    df = spark.createDataFrame([tuple(row)], STATS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _move_parquet_files(tmp, live, fold_tag)
+    pending = catalog.pending_epoch_tags()
+    for f in before:
+        name = os.path.basename(f)
+        if any(name.startswith(t + "__") for t in pending):
+            continue        # never touch a mid-move epoch's files
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
 
 
 def compact_termstats(spark: SparkSession, catalog: Catalog) -> None:
@@ -456,6 +498,11 @@ def compact_termstats(spark: SparkSession, catalog: Catalog) -> None:
             "compact_termstats swaps local directories; for Iceberg/remote "
             "catalogs use MERGE INTO / the format's rewrite action")
     recover_table(catalog, "termstats")
+    # complete any committed-but-unfinished epoch FIRST: swapping the live
+    # dirs while an epoch's already-moved delta files sit excluded-but-
+    # present would delete that epoch's termstats/stats contribution
+    # forever while recover_appends later publishes its postings
+    recover_appends(catalog)
     merged = read_termstats(spark, catalog)
     tmp = catalog.path("termstats__compacting")
     shutil.rmtree(tmp, ignore_errors=True)
