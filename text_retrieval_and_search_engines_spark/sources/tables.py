@@ -17,6 +17,18 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+# separator between an epoch tag and the original filename in files
+# published by the append move phase ("{tag}__{orig}"). Tags are validated
+# to never contain it, so prefix matching cannot alias two tags. (Catalogs
+# that crashed mid-move under a pre-"__" release must run recover_appends
+# once — any append/compact does — before serving readers.)
+TAG_SEP = "__"
+
+
+def is_pending_file(name: str, pending: set[str]) -> bool:
+    """True if a parquet file basename belongs to one of `pending` epochs."""
+    return any(name.startswith(t + TAG_SEP) for t in pending)
+
 
 @dataclass
 class Catalog:
@@ -87,16 +99,19 @@ class Catalog:
         files are already tag-prefixed in the live dirs; readers exclude
         them for an epoch-atomic snapshot view (Iceberg semantics).
 
-        Cached on the manifest file's mtime: read_table calls this on
-        every open, and re-parsing the JSON per table would tax every
-        reader for a condition that is almost always 'no append in
-        flight'."""
+        Cached on the manifest file's (mtime_ns, size): read_table calls
+        this on every open, and re-parsing the JSON per table would tax
+        every reader for a condition that is almost always 'no append in
+        flight'. mtime alone is not a safe key — two manifest writes can
+        land in one mtime tick on coarse-granularity filesystems — so the
+        byte size (which changes on every append/prune) disambiguates."""
         try:
-            mt = os.path.getmtime(self._manifest_path)
+            st = os.stat(self._manifest_path)
+            key = (st.st_mtime_ns, st.st_size)
         except OSError:
             return set()
         cached = getattr(self, "_pending_cache", None)
-        if cached is not None and cached[0] == mt:
+        if cached is not None and cached[0] == key:
             return cached[1]
         done, com = set(), set()
         for s in self._load_manifest()["snapshots"]:
@@ -108,7 +123,7 @@ class Catalog:
             elif fp.endswith(":commit"):
                 com.add(fp[:-7])
         tags = com - done
-        self._pending_cache = (mt, tags)
+        self._pending_cache = (key, tags)
         return tags
 
     def read_table(self, spark: SparkSession, table: str,
@@ -131,14 +146,10 @@ class Catalog:
         base = self.path(table)
         if pending and os.path.isdir(base):
             import glob as _glob
-            # "__" separates tag from original filename; tags may not
-            # contain "__" (validated at append), so tag A's files can
-            # never be shadowed by a tag that A prefixes
             files = [f for f in _glob.glob(os.path.join(base, "**",
                                                         "*.parquet"),
                                            recursive=True)
-                     if not any(os.path.basename(f).startswith(t + "__")
-                                for t in pending)]
+                     if not is_pending_file(os.path.basename(f), pending)]
             if files:
                 # basePath keeps partition-dir columns (e.g. term_bucket)
                 return reader.option("basePath", base).parquet(*files)

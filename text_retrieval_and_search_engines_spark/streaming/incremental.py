@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..plans.index_build import (IndexConfig, assign_docids, build_postings,
                                  tokenize_docs)
-from ..sources.tables import Catalog
+from ..sources.tables import TAG_SEP, Catalog, is_pending_file
 
 # tables an append touches, in move order (stats last: its row publishes
 # the new next_docid only after every data file is live). stats is
@@ -84,12 +84,13 @@ def _stage_path(catalog: Catalog, table: str, tag: str) -> str:
 
 
 def _check_tag(tag: str) -> str:
-    """Epoch tags become filename prefixes ``{tag}__{orig}``; "__" inside a
-    tag would make one tag's files indistinguishable from another's in the
-    reader-side pending-epoch exclusion (tag "a" vs tag "a__b")."""
-    if not tag or "__" in tag or "/" in tag:
+    """Epoch tags become filename prefixes ``{tag}{TAG_SEP}{orig}``; the
+    separator inside a tag would make one tag's files indistinguishable
+    from another's in the reader-side pending-epoch exclusion (tag "a" vs
+    tag "a__b")."""
+    if not tag or TAG_SEP in tag or "/" in tag:
         raise ValueError(f"invalid epoch tag {tag!r}: must be non-empty "
-                         "and contain neither '__' nor '/'")
+                         f"and contain neither {TAG_SEP!r} nor '/'")
     return tag
 
 
@@ -109,7 +110,7 @@ def _move_parquet_files(stage_dir: str, live_dir: str, tag: str) -> None:
                         os.path.join(live_dir, rel))
             os.makedirs(dest_dir, exist_ok=True)
             os.replace(os.path.join(root, fn),
-                       os.path.join(dest_dir, f"{tag}__{fn}"))
+                       os.path.join(dest_dir, f"{tag}{TAG_SEP}{fn}"))
     shutil.rmtree(stage_dir, ignore_errors=True)
 
 
@@ -202,10 +203,12 @@ def append_pages_batch(spark: SparkSession, batch: DataFrame,
     leaves the index either fully pre- or fully post-batch after
     ``recover_appends``.
     """
+    if epoch_tag is not None and epoch_applied(catalog, epoch_tag):
+        # applied-epoch no-op BEFORE validation: a replay of a legacy tag
+        # that the current rules would reject must stay a skip, not a crash
+        return {"appended_docs": 0, "base_docid": -1, "skipped": True}
     if epoch_tag is not None:
         _check_tag(epoch_tag)
-    if epoch_tag is not None and epoch_applied(catalog, epoch_tag):
-        return {"appended_docs": 0, "base_docid": -1, "skipped": True}
     recover_appends(catalog)
     # recovery may just have COMPLETED this very epoch (crash happened
     # after its commit marker) — re-staging it would double-append
@@ -455,29 +458,32 @@ def recover_postings_buckets(catalog: Catalog) -> int:
 def _fold_stats(spark: SparkSession, catalog: Catalog) -> None:
     """Fold the per-epoch stats rows to one file IN PLACE, reader-safely:
     write the live row (max next_docid) as one new file moved in under a
-    fold tag, then unlink the superseded files one by one. At every
-    instant the directory contains at least one copy of the live row and
-    nothing newer, and read_stats_row's max-next_docid pick is unaffected
-    by the transient duplicate — no rename window in which the table is
-    missing (a dir swap here would break the concurrent-reader guarantee
-    the append protocol gives). Crash anywhere just leaves extra
-    already-superseded rows for the next fold."""
+    fold tag, then unlink the superseded files one by one. The directory
+    always contains at least one copy of the live row and nothing newer,
+    and read_stats_row's max-next_docid pick is unaffected by the
+    transient duplicate — no rename window in which the table is missing.
+    The residual hazard is far smaller than a dir swap but not zero: a
+    reader that LISTED a superseded file just before its unlink can still
+    miss it at scan time (set spark.sql.files.ignoreMissingFiles at
+    deployment, or use the Iceberg catalog). Crash anywhere just leaves
+    extra already-superseded rows (and possibly a stats__folding_* dir,
+    cleared on the next fold)."""
     from ..plans.index_build import STATS_SCHEMA, read_stats_row
     recover_table(catalog, "stats")
     row = read_stats_row(spark, catalog)
     live = catalog.path("stats")
     before = set(glob.glob(os.path.join(live, "**", "*.parquet"),
                            recursive=True))
+    for stale in glob.glob(catalog.path("stats__folding_*")):
+        shutil.rmtree(stale, ignore_errors=True)   # crashed earlier folds
     fold_tag = f"fold{uuid.uuid4().hex[:10]}"
     tmp = catalog.path(f"stats__folding_{fold_tag}")
-    shutil.rmtree(tmp, ignore_errors=True)
     df = spark.createDataFrame([tuple(row)], STATS_SCHEMA)
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     _move_parquet_files(tmp, live, fold_tag)
     pending = catalog.pending_epoch_tags()
     for f in before:
-        name = os.path.basename(f)
-        if any(name.startswith(t + "__") for t in pending):
+        if is_pending_file(os.path.basename(f), pending):
             continue        # never touch a mid-move epoch's files
         try:
             os.unlink(f)
