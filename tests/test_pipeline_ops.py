@@ -346,3 +346,102 @@ def test_ivf_training_is_one_pass_per_iteration(spark):
     # centers are unit-norm (spherical k-means contract)
     norms = np.linalg.norm(cents, axis=1)
     assert np.allclose(norms[norms > 1e-9], 1.0)
+
+
+# ---------------------------------------------------------------- round 4
+
+def test_ivf_materialized_assignments_skip_corpus_rescan(spark, monkeypatch):
+    """VERDICT r3 item 4: with a materialized (vec_id, centroid_id) table
+    supplied, a query batch must NOT re-derive cell assignments — zero
+    corpus re-assignment scans. Pinned by making the assignment kernel
+    unreachable and checking results are identical."""
+    rng = np.random.default_rng(29)
+    dim = 10
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+            for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(f"q{i}", [float(x) for x in rng.standard_normal(dim)])
+         for i in range(4)], "qid string, embedding array<double>")
+
+    cents = similarity.ivf_centroids(emb, n_centroids=6, seed=7, iters=2)
+    assigned = similarity.ivf_assignments(emb, cents)
+    # materialize the assignment table (the real-deployment shape)
+    assigned_rows = assigned.collect()
+    cell = spark.createDataFrame(assigned_rows,
+                                 "vec_id long, centroid_id int")
+
+    want = similarity.ivf_cosine_topk(emb, q, k=3, centroids=cents,
+                                      assignments=cell).collect()
+
+    def boom(*a, **kw):
+        raise AssertionError("corpus re-assignment scan ran")
+
+    monkeypatch.setattr(similarity, "ivf_assignments", boom)
+    got = similarity.ivf_cosine_topk(emb, q, k=3, centroids=cents,
+                                     assignments=cell).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    assert {key(r): r["nbr_id"] for r in got} == \
+        {key(r): r["nbr_id"] for r in want}
+
+
+def test_lsh_dim_param_skips_probe_job(spark, monkeypatch):
+    """VERDICT r3 item 4/minor: callers that know the embedding width must
+    not pay a one-row probe job per call — with dim= given, neither LSH
+    top-k path may call DataFrame.first at plan time."""
+    rng = np.random.default_rng(31)
+    dim = 8
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [("q0", [float(x) for x in rng.standard_normal(dim)])],
+        "qid string, embedding array<double>")
+
+    want = similarity.lsh_cosine_topk_margin(
+        emb, q, k=3, n_planes=6, seed=1, probe_budget=8).collect()
+
+    from pyspark.sql import DataFrame as _DF
+    monkeypatch.setattr(_DF, "first",
+                        lambda self: (_ for _ in ()).throw(
+                            AssertionError("dim probe job ran")))
+    got = similarity.lsh_cosine_topk_margin(
+        emb, q, k=3, n_planes=6, seed=1, probe_budget=8, dim=dim).collect()
+    got2 = similarity.lsh_cosine_topk(
+        emb, q, k=3, n_planes=6, seed=1, dim=dim).collect()
+    assert len(got2) > 0
+    key = lambda r: (r["qid"], r["rank"])
+    assert {key(r): r["nbr_id"] for r in got} == \
+        {key(r): r["nbr_id"] for r in want}
+
+
+def test_dedup_drop_report_lands_in_metrics_table(spark, tmp_path):
+    """VERDICT r3 item 6: the bucket-cap drop volume must land in the
+    catalog's metrics table via the pipeline-path wrappers, so silent
+    truncation can never read as full coverage."""
+    from text_retrieval_and_search_engines_spark.sources.tables import Catalog
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text shared by every doc")
+         for i in range(12)] + [(100, "a genuinely unique document")],
+        "doc_id long, text string")
+    sig = dedup.minhash_signatures(dedup.char_shingles(docs))
+
+    cat = Catalog(str(tmp_path / "mcat"))
+    pairs = dedup.minhash_lsh_pairs_with_metrics(
+        spark, cat, sig, max_bucket=5)
+    pairs.collect()
+
+    m = cat.read_table(spark, "metrics").collect()
+    by_metric = {r["metric"]: r["value"] for r in m
+                 if r["phase"] == "dedup_minhash_lsh"}
+    assert by_metric["dropped_buckets"] >= 1
+    assert by_metric["dropped_rows"] >= 12
+    assert by_metric["max_bucket"] == 5
+
+    # simhash wrapper appends alongside (history accrues, mode=append)
+    dedup.simhash_neardup_with_metrics(
+        spark, cat, dedup.simhash(docs), max_hamming=8,
+        max_bucket=5).collect()
+    phases = {r["phase"] for r in cat.read_table(spark, "metrics").collect()}
+    assert phases == {"dedup_minhash_lsh", "dedup_simhash"}

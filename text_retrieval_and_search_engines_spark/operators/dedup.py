@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SHINGLE_K = 5
@@ -127,6 +127,47 @@ def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int,
                            max_bucket=max_bucket)
     ok = sizes.filter(F.col("count") <= max_bucket).drop("count")
     return buckets.join(ok, keys, "left_semi")
+
+
+def record_drop_report(spark: SparkSession, catalog, report: dict,
+                       phase: str) -> None:
+    """Land a `_cap_buckets` drop report in the catalog's ``metrics``
+    table (VERDICT r3 item 6: a drop report living only in an opt-in dict
+    means silent truncation can read as full coverage at scale — the
+    metrics table is where every other pipeline stat lands).
+
+    Rows: (phase, metric, value) for dropped_buckets / dropped_rows /
+    max_bucket, appended so a long-running pipeline accrues a history."""
+    rows = [(phase, "dropped_buckets", int(report.get("dropped_buckets", 0))),
+            (phase, "dropped_rows", int(report.get("dropped_rows", 0))),
+            (phase, "max_bucket", int(report.get("max_bucket", 0)))]
+    df = spark.createDataFrame(rows, "phase string, metric string, value long")
+    catalog.write_table(df, "metrics", fingerprint=f"dedup-drops:{phase}",
+                        mode="append")
+
+
+def minhash_lsh_pairs_with_metrics(spark: SparkSession, catalog,
+                                   signatures: DataFrame,
+                                   phase: str = "dedup_minhash_lsh",
+                                   **kwargs) -> DataFrame:
+    """Pipeline-path wrapper: banded LSH candidates with the bucket-cap
+    drop volume recorded in the catalog's metrics table."""
+    report: dict = {}
+    pairs = minhash_lsh_pairs(signatures, drop_report=report, **kwargs)
+    record_drop_report(spark, catalog, report, phase)
+    return pairs
+
+
+def simhash_neardup_with_metrics(spark: SparkSession, catalog,
+                                 fps: DataFrame,
+                                 phase: str = "dedup_simhash",
+                                 **kwargs) -> DataFrame:
+    """Pipeline-path wrapper: simhash near-dup pairs with the bucket-cap
+    drop volume recorded in the catalog's metrics table."""
+    report: dict = {}
+    pairs = simhash_neardup(fps, drop_report=report, **kwargs)
+    record_drop_report(spark, catalog, report, phase)
+    return pairs
 
 
 def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,

@@ -168,6 +168,61 @@ def hashed_linear_scorer(dim: int = 1 << 18, seed: int = 7,
     return fn
 
 
+def onnx_scorer(model_bytes: bytes, dim: int = 1 << 16,
+                text_col: str = "passage_text",
+                input_name: str = "features") -> ScorerFn:
+    """A REAL model in the cross-encoder slot (VERDICT r3 item 8): the
+    same broadcast-query join + hashed pair featurization as
+    ``hashed_linear_scorer``, but scored by an onnxruntime
+    InferenceSession instead of a closure weight vector. The serialized
+    model ships to executors inside the task closure (the right shape for
+    a small reranker; a large one would come off a distributed cache) and
+    the session is constructed LAZILY once per python worker — not per
+    batch, not on the driver. The model contract: one float32 input
+    ``input_name`` of shape (n, dim), first output (n, 1) or (n,) scores.
+
+    Requires ``onnxruntime`` on the executors; import happens inside the
+    kernel so merely importing this module never needs it.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def fn(passages: DataFrame, queries: DataFrame) -> DataFrame:
+        joined = passages
+        has_query = queries is not None
+        if has_query:
+            q = queries.select("qid", F.col("text").alias("_qtext"))
+            joined = passages.join(F.broadcast(q), "qid", "left")
+        out_schema = T.StructType(
+            [passages.schema[c] for c in ("qid", "docid", "passage_idx")]
+            + [T.StructField("score", T.DoubleType())])
+
+        def kernel(iterator):
+            import onnxruntime as ort
+            sess = ort.InferenceSession(
+                model_bytes, providers=["CPUExecutionProvider"])
+            out_name = sess.get_outputs()[0].name
+            for pdf in iterator:
+                qtexts = (pdf["_qtext"] if has_query
+                          else pd.Series([None] * len(pdf)))
+                feats = np.zeros((len(pdf), dim), dtype=np.float32)
+                for i, (qt, pt) in enumerate(zip(qtexts, pdf[text_col])):
+                    idxs = _pair_feature_indices(qt, pt, dim)
+                    if idxs:
+                        np.add.at(feats[i], idxs, 1.0)
+                scores = sess.run([out_name], {input_name: feats})[0]
+                yield pd.DataFrame({
+                    "qid": pdf["qid"], "docid": pdf["docid"],
+                    "passage_idx": pdf["passage_idx"],
+                    "score": np.asarray(scores, dtype=np.float64)
+                    .reshape(len(pdf))})
+
+        return joined.mapInPandas(kernel, schema=out_schema)
+
+    return fn
+
+
 def biencoder_scorer(dim: int = 256, seed: int = 11,
                      text_col: str = "passage_text") -> ScorerFn:
     """N1 bi-encoder SHAPE with a deterministic hashed encoder: each side is
