@@ -58,7 +58,8 @@ def make_spark(cpus: int) -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "256m")
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # RAM-backed shuffle dir: /tmp is a real disk here and 32 concurrent
@@ -156,6 +157,20 @@ def bench_index_and_query(cpus: int, do_entry_ops: bool) -> dict:
     out["queries"]["bm25_batch50"] = round(t_batch, 3)
     out["batch_hits"] = n_hits
 
+    # BMW vs exact batch A/B (VERDICT r3 item 1: the bmw kernel walk is
+    # now columnar like the exact kernel's) — min-of-3 INTERLEAVED reps
+    # per the VM-noise methodology; extra fields, not in the headline sum
+    bmw_t, ex_t = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        search(reader, qdf, SearchParams(k=1000, algo="bmw")).count()
+        bmw_t.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        search(reader, qdf, SearchParams(k=1000)).count()
+        ex_t.append(time.perf_counter() - t0)
+    out["bmw_batch50_sec"] = round(min(bmw_t), 3)
+    out["exact_batch50_sec"] = round(min(ex_t), 3)
+
     # VERDICT r2 item 6: single-run p50/p99 on this VM is noise-dominated
     # (+-30-80% run-to-run for identical code). Per-query min over 3
     # interleaved reps estimates the contention-free latency — the same
@@ -200,7 +215,8 @@ def bench_index_and_query(cpus: int, do_entry_ops: bool) -> dict:
     return out
 
 
-def single_build(cpus: int, n_docs: int) -> None:
+def single_build(cpus: int, n_docs: int,
+                 range_size: int | None = None) -> None:
     """Subprocess entry: clean-JVM index build + batch query on the
     deterministic synthetic web corpus (counter-based generator). Prints one
     JSON line for the parent scaling harness."""
@@ -227,9 +243,11 @@ def single_build(cpus: int, n_docs: int) -> None:
     catalog = Catalog(root)
     # range_size caps per-(term,range) group size: the head-term skew salt.
     # 8192 engages chunking at bench scale; at 10^12 docs the default 1<<17
-    # yields ~7.6M chunks per head term — same knob, same bound.
-    cfg = IndexConfig(range_size=1 << 16, langs=(), recompute_text=False,
-                      materialize_docs=False)
+    # yields ~7.6M chunks per head term — same knob, same bound. The
+    # optional 4th CLI arg overrides it (the 20M-doc run validates the
+    # tuning rule's 2^17 recommendation at 10x the prior max).
+    cfg = IndexConfig(range_size=range_size or 1 << 16, langs=(),
+                      recompute_text=False, materialize_docs=False)
     t0 = time.perf_counter()
     info = build_index(spark, corpus, catalog, cfg, input_fp=f"scale-{n_docs}")
     t_build = time.perf_counter() - t0
@@ -323,7 +341,8 @@ def run_scaling(n_docs: int, reps: int = 3) -> dict:
 
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--single-build":
-        single_build(int(sys.argv[2]), int(sys.argv[3]))
+        single_build(int(sys.argv[2]), int(sys.argv[3]),
+                     int(sys.argv[4]) if len(sys.argv) > 4 else None)
         return
     result = bench_index_and_query(CPUS, do_entry_ops=True)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -338,6 +357,8 @@ def main() -> None:
         "n_docs": result["n_docs"],
         "append_sec": result.get("append_sec"),
         "append_docs_per_sec": result.get("append_docs_per_sec"),
+        "bmw_batch50_sec": result.get("bmw_batch50_sec"),
+        "exact_batch50_sec": result.get("exact_batch50_sec"),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":

@@ -82,3 +82,46 @@ def test_pages_text_column_is_pinned_extraction():
 def test_stopword_set_is_lucene_default():
     assert len(STOPWORDS) == 33
     assert {"the", "and", "was", "will", "such"} <= STOPWORDS
+
+
+import pytest
+
+
+@pytest.mark.parametrize("kernel", ["python", "arrow"])
+def test_tokenize_docs_matches_scalar_twin(spark, kernel):
+    """BOTH tokenize_docs kernels (r4) must agree with the pinned scalar
+    analyzer per doc: same token MULTISET {term: tf}, same dl (tokens
+    after stop removal), zero-token docs keep a (dl=0, []) row. The arrow
+    kernel additionally emits lists sorted lexicographically by stemmed
+    term (deterministic, not contractual downstream)."""
+    from text_retrieval_and_search_engines_spark.functions.text import (
+        term_freqs)
+    from text_retrieval_and_search_engines_spark.plans.index_build import (
+        tokenize_docs)
+
+    texts = [
+        "The running dogs and THE cats kept RUNNING fast",
+        "x1 42 foo-bar foo--bar ... foo",
+        "",
+        "the and of to",                      # stopword-only -> dl 0
+        None,
+        "Ceci n'est PAS une pipe; cafés & naïve İstanbul",
+        "aa " * 500 + "bb",                   # repetition-heavy
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "docid long, text string")
+
+    for analyzer in ("english", "simple"):
+        out = {r["docid"]: r for r in
+               tokenize_docs(docs, analyzer, kernel=kernel).collect()}
+        assert set(out) == set(range(len(texts)))   # every doc keeps a row
+        for i, t in enumerate(texts):
+            toks = tokenize("" if t is None else t,
+                            stem=analyzer == "english",
+                            stop=analyzer == "english")
+            want = term_freqs(toks)
+            got = dict(zip(out[i]["terms"], out[i]["tfs"]))
+            assert got == want, (analyzer, i)
+            assert out[i]["dl"] == len(toks), (analyzer, i)
+            if kernel == "arrow":
+                assert list(out[i]["terms"]) == sorted(out[i]["terms"])

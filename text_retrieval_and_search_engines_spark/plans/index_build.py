@@ -237,10 +237,44 @@ def dedup_recrawls(df: DataFrame) -> DataFrame:
 # phase 2: tokenize -> (docid, term, tf, dl); doclens
 # --------------------------------------------------------------------------
 
-def tokenize_docs(docs: DataFrame, analyzer: str = "english") -> DataFrame:
-    """One Arrow pass per doc -> (docid, dl, terms[], tfs[]). Zero-token docs
-    keep a row (dl=0, empty arrays) so N/avgdl count them (oracle parity)."""
+def tokenize_docs(docs: DataFrame, analyzer: str = "english",
+                  kernel: str | None = None) -> DataFrame:
+    """One pass per doc -> (docid, dl, terms[], tfs[]). Zero-token docs
+    keep a row (dl=0, empty arrays) so N/avgdl count them (oracle parity).
 
+    Two byte-parity kernels (both pinned by tests/test_text.py::
+    test_tokenize_docs_matches_scalar_twin); pick with `kernel` or
+    $SPARK_GRAFT_TOKENIZER:
+
+    * ``python`` (default): the fused findall -> stop -> stem -> dict
+      count loop. Its working set (short token strings, small dicts, the
+      lru stem cache) lives in L1/L2, which makes it the FASTER kernel on
+      memory-bandwidth-contended hosts — measured min-of-6 interleaved on
+      this sandbox: 1.19 s vs 4.5 s arrow for 3M tokens single-threaded
+      (~2.5M tokens/s/core; see BENCH.md r4 'tokenize kernel A/B').
+    * ``arrow``: tokens never materialize as python objects — RE2 split in
+      Arrow C++ -> dictionary_encode -> stopword/stem on the BATCH VOCAB
+      only (O(unique terms)) -> run-length tf counts over one sorted
+      (doc, term-rank) key in numpy. ~15 streaming passes over flat
+      arrays: wins where DRAM bandwidth is healthy, loses where it is the
+      contended resource (this VM's large-array ops swing 0.01-1.7 s for
+      identical work). Per-doc term lists come out sorted by stemmed term
+      (deterministic at any parallelism; only the multiset is contractual
+      — downstream explodes/groups).
+
+    Lowercasing is python str.lower in BOTH (Arrow's utf8_lower disagrees
+    on e.g. 'İ', and the analyzer contract is byte-parity with
+    functions/text.py's tokenize)."""
+    import os
+    kernel = kernel or os.environ.get("SPARK_GRAFT_TOKENIZER", "python")
+    if kernel == "python":
+        return _tokenize_docs_python(docs, analyzer)
+    if kernel != "arrow":
+        raise ValueError(f"unknown tokenizer kernel {kernel!r}")
+    return _tokenize_docs_arrow(docs, analyzer)
+
+
+def _tokenize_docs_python(docs: DataFrame, analyzer: str) -> DataFrame:
     from ..functions.text import STOPWORDS, _stem_cached, _TOKEN_RE
 
     def kernel(iterator):
@@ -272,7 +306,88 @@ def tokenize_docs(docs: DataFrame, analyzer: str = "english") -> DataFrame:
                 "tfs": tfs,
             })
 
-    return docs.select("docid", "text").mapInPandas(kernel, schema=TOKENS_SCHEMA)
+    return docs.select("docid", "text").mapInPandas(kernel,
+                                                    schema=TOKENS_SCHEMA)
+
+
+def _tokenize_docs_arrow(docs: DataFrame, analyzer: str) -> DataFrame:
+    from ..functions.text import STOPWORDS, _stem_cached
+
+    english = analyzer == "english"
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        stop = STOPWORDS if english else frozenset()
+        stem = _stem_cached if english else (lambda t: t)
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            idx = batch.schema.get_field_index
+            docids = (batch.column(idx("docid"))
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
+            lowered = batch.column(idx("text")).to_pandas() \
+                .fillna("").str.lower()
+            toks = pc.split_pattern_regex(
+                pa.array(lowered, type=pa.string()), "[^a-z0-9]+")
+            counts = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            enc = pc.dictionary_encode(toks.flatten())
+            codes = enc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            vlist = enc.dictionary.to_pylist()
+            # analyzer on the vocab only; term id = lexicographic rank of
+            # the stemmed term (split on [^a-z0-9]+ yields '' at string
+            # edges — rank None filters them with the stopwords)
+            stemmed = [stem(t) if (t and t not in stop) else None
+                       for t in vlist]
+            uniq = sorted({s for s in stemmed if s is not None})
+            rank = {s: i for i, s in enumerate(uniq)}
+            code_map = np.array([-1 if s is None else rank[s]
+                                 for s in stemmed], dtype=np.int64)
+            n_stems = len(uniq)
+            if n_stems:
+                doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+                mapped = code_map[codes]
+                keep = mapped >= 0
+                d = doc_idx[keep]
+                dls = np.bincount(d, minlength=n)
+                # fused (doc, term) key; d is already non-decreasing so the
+                # sort is near-linear, and run-length gives tf directly
+                key = d * n_stems + mapped[keep]
+                key.sort(kind="stable")
+                chg = np.flatnonzero(key[1:] != key[:-1]) + 1
+                bounds = np.concatenate(([0], chg, [key.size]))
+                if key.size == 0:
+                    bounds = np.array([0], dtype=np.int64)
+                uk = key[bounds[:-1]]
+                tfs = np.diff(bounds)
+                ud, uc = uk // n_stems, uk % n_stems
+            else:
+                dls = np.zeros(n, dtype=np.int64)
+                ud = np.empty(0, dtype=np.int64)
+                uc = np.empty(0, dtype=np.int64)
+                tfs = np.empty(0, dtype=np.int64)
+            off = np.concatenate(
+                ([0], np.cumsum(np.bincount(ud, minlength=n))))
+            offsets = pa.array(off.astype(np.int32), type=pa.int32())
+            stems_pa = pa.array(uniq, type=pa.string())
+            terms_flat = (stems_pa.take(pa.array(uc)) if uc.size
+                          else pa.array([], type=pa.string()))
+            yield pa.RecordBatch.from_arrays([
+                pa.array(docids, type=pa.int64()),
+                pa.array(dls.astype(np.int64), type=pa.int64()),
+                pa.ListArray.from_arrays(offsets, terms_flat),
+                pa.ListArray.from_arrays(
+                    offsets, pa.array(tfs.astype(np.int32),
+                                      type=pa.int32())),
+            ], names=["docid", "dl", "terms", "tfs"])
+
+    return docs.select("docid", "text").mapInArrow(kernel,
+                                                   schema=TOKENS_SCHEMA)
 
 
 def explode_tokens(doc_tokens: DataFrame) -> DataFrame:
