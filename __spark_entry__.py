@@ -34,7 +34,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — round 3: every queries() key has one (35/35),
-    including the real-engine entries (exact, BMW, two-pass RM3) and the
-    multi-probe LSH ANN path."""
+    """DuckDB twins — round 4: every queries() key has one (39/39),
+    including the real-engine entries (exact, BMW, two-pass RM3), the
+    multi-probe/margin LSH ANN paths, the full IVF serving path
+    (assignment -> probe selection -> cell-restricted top-k), and the
+    composed curation DAG (filters -> exact dedup -> LSH near dedup)."""
     return dict(entry_queries.ORACLE_SQL)

@@ -40,8 +40,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
 ENTRY_OPS = [
     "bm25_topk", "term_stats", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "ann_cosine_topk", "lang_id", "quality_score",
-    "token_count", "agg_maxp", "fusion_rrf", "rank_topk", "eval_metrics",
+    "dedup_simhash", "ann_cosine_topk", "ivf_topk", "lang_id",
+    "quality_score", "token_count", "repetition_stats", "source_mix",
+    "agg_maxp", "fusion_rrf", "rank_topk", "eval_metrics",
 ]
 
 
@@ -210,6 +211,21 @@ def bench_index_and_query(cpus: int, do_entry_ops: bool) -> dict:
     t_append = time.perf_counter() - t0
     out["append_sec"] = round(t_append, 3)
     out["append_docs_per_sec"] = round(n_batch / t_append, 1)
+
+    # full curation DAG throughput (extra field, NOT in the headline sum):
+    # quality+repetition filters -> exact dedup -> MinHash-LSH near dedup
+    # over the whole documents table, drops landed in the metrics table
+    from text_retrieval_and_search_engines_spark.operators.curate import (
+        CurateConfig, curate_corpus)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_cur_in = docs.count()
+    t0 = time.perf_counter()
+    _, cstats = curate_corpus(spark, docs, catalog, CurateConfig(),
+                              out_path="/dev/shm/bench_curated.parquet")
+    t_curate = time.perf_counter() - t0
+    out["curate_sec"] = round(t_curate, 3)
+    out["curate_docs_per_sec"] = round(n_cur_in / t_curate, 1)
+    out["curate_rows_out"] = cstats["rows_out"]
 
     spark.stop()
     return out

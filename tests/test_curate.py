@@ -1,0 +1,117 @@
+"""Curation pipeline tests: planted junk corpus -> every drop reason
+exercised, counts exact, metrics landed, survivors intact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_retrieval_and_search_engines_spark.operators.curate import (
+    CurateConfig, curate_corpus)
+from text_retrieval_and_search_engines_spark.sources.tables import Catalog
+
+GOOD = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun")
+GOOD2 = ("completely different content about spark engines and inverted "
+         "indexes with postings lists and block max pruning for the win")
+
+
+@pytest.fixture()
+def planted(spark):
+    rows = [
+        (0, GOOD, "en", "s1"),
+        (1, GOOD2, "en", "s1"),
+        (2, "too short", "en", "s2"),                      # quality: n_words
+        (3, "spam spam " * 40 + "spam", "en", "s2"),       # repetition
+        (4, GOOD, "en", "s2"),                             # exact dup of 0
+        (5, "  The QUICK   brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill in the afternoon sun ",
+         "en", "s2"),                                      # normalized dup of 0
+        (6, GOOD2.replace("win", "ages"), "en", "s3"),     # near dup of 1
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_curate_drops_every_reason_and_records_metrics(spark, planted,
+                                                       tmp_path):
+    cat = Catalog(str(tmp_path / "ccat"))
+    curated, stats = curate_corpus(
+        spark, planted, cat,
+        CurateConfig(min_words=5, max_top_bigram_frac=0.3, jaccard=0.5,
+                     max_bucket=0))
+    ids = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+    assert ids == [0, 1]
+    assert stats == {"rows_in": 7, "dropped_quality": 2,
+                     "dropped_exact_dup": 2, "dropped_near_dup": 1,
+                     "rows_out": 2}
+    # schema preserved, extra columns intact
+    assert curated.columns == ["doc_id", "text", "lang", "source"]
+    srcs = {r["doc_id"]: r["source"] for r in curated.collect()}
+    assert srcs == {0: "s1", 1: "s1"}
+
+    m = cat.read_table(spark, "metrics").collect()
+    by = {(r["phase"], r["metric"]): r["value"] for r in m}
+    assert by[("curate", "rows_in")] == 7
+    assert by[("curate", "rows_out")] == 2
+    assert by[("curate", "dropped_near_dup")] == 1
+    # the LSH bucket-cap drop report landed too (cap disabled -> zeros)
+    assert by[("curate_minhash_lsh", "dropped_rows")] == 0
+
+
+def test_curate_near_none_and_simhash_modes(spark, planted, tmp_path):
+    cat = Catalog(str(tmp_path / "ccat2"))
+    _, stats = curate_corpus(
+        spark, planted, cat, CurateConfig(near="none", max_bucket=0))
+    assert stats["dropped_near_dup"] == 0
+    assert stats["rows_out"] == 3          # near-dup of 1 survives
+
+    _, st2 = curate_corpus(
+        spark, planted, cat,
+        CurateConfig(near="simhash", simhash_max_hamming=8, max_bucket=0))
+    assert st2["rows_out"] <= 3            # simhash radius catches the pair
+
+    with pytest.raises(ValueError):
+        curate_corpus(spark, planted, cat, CurateConfig(near="bogus"))
+
+
+def test_curate_shields_feature_name_collisions(spark, tmp_path):
+    """An input column named like a computed feature (n_chars here, as in
+    the driver's documents table) must pass through unchanged."""
+    docs = spark.createDataFrame(
+        [(0, GOOD, 999), (1, GOOD2, 123)],
+        "doc_id long, text string, n_chars long")
+    cat = Catalog(str(tmp_path / "ccat3"))
+    curated, stats = curate_corpus(
+        spark, docs, cat, CurateConfig(near="none", max_bucket=0))
+    assert stats["rows_out"] == 2
+    vals = {r["doc_id"]: r["n_chars"] for r in curated.collect()}
+    assert vals == {0: 999, 1: 123}
+
+
+def test_curate_feature_stage_is_shuffle_free(spark, planted):
+    """PLANS.md claim: the quality+repetition feature stage CHAINS as
+    narrow maps via keep= (no doc_id re-join) and the filters fold into
+    the same map stage — the physical plan up to the flag column must
+    contain NO Exchange."""
+    from text_retrieval_and_search_engines_spark.operators import textstats
+    feats = textstats.repetition_stats(
+        textstats.quality_features(planted, keep=("text",)),
+        text_col="text", keep=("text", "quality_score"))
+    flagged = feats.select(
+        "doc_id", "text",
+        ((F.col("quality_score") >= 0.4) & (F.col("n_words") >= 5)
+         & (F.col("top_bigram_frac") <= 0.3)).alias("_qual_ok"))
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_curate_writes_out_path(spark, planted, tmp_path):
+    cat = Catalog(str(tmp_path / "ccat4"))
+    out = str(tmp_path / "curated.parquet")
+    _, stats = curate_corpus(
+        spark, planted, cat, CurateConfig(near="none", max_bucket=0),
+        out_path=out)
+    back = spark.read.parquet(out)
+    assert back.count() == stats["rows_out"]
+    assert set(back.columns) == {"doc_id", "text", "lang", "source"}

@@ -445,3 +445,85 @@ def test_dedup_drop_report_lands_in_metrics_table(spark, tmp_path):
         max_bucket=5).collect()
     phases = {r["phase"] for r in cat.read_table(spark, "metrics").collect()}
     assert phases == {"dedup_minhash_lsh", "dedup_simhash"}
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: repetition stats / source mix / pinned IVF choices
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher-style word-repetition features against hand-derived values:
+    doc 'a a a b' -> 4 words, 2 types, top unigram 3/4, bigrams
+    ('a a','a a','a b') -> top bigram 2/3, H = ln4 - (3 ln3)/4."""
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x"), (2, ""), (3, "w1 w2 w3 w4")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.repetition_stats(docs).collect()}
+
+    r = out[0]
+    assert r["n_words"] == 4 and r["n_types"] == 2
+    assert r["type_token_ratio"] == 0.5
+    assert r["top_unigram_frac"] == 0.75
+    assert r["top_bigram_frac"] == round(2 / 3, 6)
+    assert r["unigram_entropy"] == round(
+        math.log(4) - (3 * math.log(3)) / 4, 6)
+
+    # single word: no bigrams -> 0.0; entropy of one type = 0
+    assert out[1]["n_words"] == 1 and out[1]["top_bigram_frac"] == 0.0
+    assert out[1]["unigram_entropy"] == 0.0
+    # empty doc: everything 0, no nulls
+    assert out[2]["n_words"] == 0 and out[2]["type_token_ratio"] == 0.0
+    # all-distinct doc: ttr 1, top shares minimal, H = ln(n)
+    assert out[3]["type_token_ratio"] == 1.0
+    assert out[3]["unigram_entropy"] == round(math.log(4), 6)
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """The 100x claim: per-doc repetition features are a pure map stage
+    (array_sort + one aggregate pass) — the physical plan must contain NO
+    exchange."""
+    docs = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    plan = (textstats.repetition_stats(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_source_mix_shares(spark):
+    docs = spark.createDataFrame(
+        [(0, "t", "en", "s1", 10), (1, "t", "en", "s1", 20),
+         (2, "t", "de", "s1", 30), (3, "t", "en", "s2", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = {(r["source"], r["lang"]): r for r in
+            textstats.source_mix(docs).collect()}
+    assert rows[("s1", "en")]["n_docs"] == 2
+    assert rows[("s1", "en")]["tot_chars"] == 30
+    assert rows[("s1", "en")]["share_of_source"] == round(2 / 3, 6)
+    assert rows[("s2", "en")]["share_of_source"] == 1.0
+    # shares within each source sum to 1
+    s1 = sum(v["share_of_source"] for k, v in rows.items() if k[0] == "s1")
+    assert abs(s1 - 1.0) < 1e-9
+
+
+def test_ivf_sim_round_pins_ties_to_lowest_centroid(spark):
+    """With sim_round set, equal (rounded) similarities must resolve to the
+    LOWEST centroid_id in both the assignment argmax and the probe-cell
+    selection — the (sim DESC, id ASC) convention a SQL twin ranks by."""
+    # two IDENTICAL centroids: every vector ties; must assign/probe c0 first
+    cents = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.05]), (1, [0.9, 0.1]), (2, [0.05, 1.0])],
+        "vec_id long, embedding array<double>")
+    assign = {r["vec_id"]: r["centroid_id"] for r in
+              similarity.ivf_assignments(emb, cents, sim_round=6).collect()}
+    assert assign[0] == 0 and assign[1] == 0 and assign[2] == 2
+
+    q = spark.createDataFrame([(0, [1.0, 0.0])],
+                              "qid long, embedding array<double>")
+    top = similarity.ivf_cosine_topk(
+        emb, q, k=3, n_probe=2, centroids=cents, sim_round=6).collect()
+    # probes c0 (tie winner) then c1 (empty cell): only docs 0 and 1 reachable
+    assert sorted(r["nbr_id"] for r in top) == [0, 1]
+    # cosine values are 6dp-rounded (ranking happened over rounded scores)
+    for r in top:
+        assert r["cosine"] == round(r["cosine"], 6)

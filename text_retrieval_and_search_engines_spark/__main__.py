@@ -10,6 +10,9 @@ Commands:
     tune    --catalog DIR --queries TSV --qrels PATH --out tuned.json [--cv]
     pipeline --catalog DIR --queries TSV --expanded CSV [--qrels PATH]
              --out-dir DIR     (the reference's 3-run train/test flow)
+    curate  --catalog DIR --docs PATH --out PATH [--near minhash|simhash|none]
+             (training-data curation: quality/repetition filters + dedup;
+              drop counts land in the catalog metrics table)
 """
 
 from __future__ import annotations
@@ -81,6 +84,22 @@ def main(argv: list[str] | None = None) -> int:
     p_a.add_argument("--checkpoint", default=None)
     p_a.add_argument("--range-size", type=int, default=1 << 17)
 
+    p_cu = sub.add_parser(
+        "curate", help="training-data curation: quality/repetition filters "
+                       "+ exact & near dedup -> curated parquet + metrics")
+    _add_common(p_cu)
+    p_cu.add_argument("--docs", required=True,
+                      help="parquet with (doc_id, text, ...)")
+    p_cu.add_argument("--out", required=True, help="curated parquet path")
+    p_cu.add_argument("--id-col", default="doc_id")
+    p_cu.add_argument("--text-col", default="text")
+    p_cu.add_argument("--min-quality", type=float, default=0.4)
+    p_cu.add_argument("--min-words", type=int, default=5)
+    p_cu.add_argument("--max-top-bigram", type=float, default=0.3)
+    p_cu.add_argument("--near", default="minhash",
+                      choices=["minhash", "simhash", "none"])
+    p_cu.add_argument("--jaccard", type=float, default=0.8)
+
     p_c = sub.add_parser("compact", help="sort-merge combine appended chunks")
     _add_common(p_c)
     p_c.add_argument("--range-size", type=int, default=1 << 17)
@@ -106,6 +125,18 @@ def main(argv: list[str] | None = None) -> int:
         info = build_index(spark, pages, catalog, cfg,
                            input_fp=args.pages, force=args.force)
         print(json.dumps(info))
+        return 0
+
+    if args.cmd == "curate":
+        from .operators.curate import CurateConfig, curate_corpus
+        cfg = CurateConfig(min_quality=args.min_quality,
+                           min_words=args.min_words,
+                           max_top_bigram_frac=args.max_top_bigram,
+                           near=args.near, jaccard=args.jaccard)
+        _, stats = curate_corpus(
+            spark, spark.read.parquet(args.docs), catalog, cfg,
+            id_col=args.id_col, text_col=args.text_col, out_path=args.out)
+        print(json.dumps(stats))
         return 0
 
     if args.cmd in ("append", "compact"):

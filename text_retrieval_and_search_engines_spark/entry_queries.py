@@ -1044,6 +1044,222 @@ SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= {k}
 RM3_TOPK_SQL = _rm3_topk_sql(BM25_QUERIES)
 
 
+IVF_N_CENT = 8      # deterministic quantizer: vec_id < 8, L2-normalized
+IVF_N_PROBE = 3
+
+
+def q_ivf_topk(spark, sf_dir):
+    """The REAL IVF serving path (assignment kernel -> probe-cell selection
+    -> cell-restricted cosine top-k), oracle-gated end to end. The coarse
+    quantizer is pinned (the normalized embeddings of vec_id < IVF_N_CENT,
+    ordered by vec_id, so centroid_id == vec_id) and every choice-driving
+    similarity is rounded to 6dp with id-ascending tie-breaks
+    (``sim_round=6``) — the registry's cross-engine convention — so the
+    DuckDB twin can replay assignment, probing, and ranking exactly.
+    k-means TRAINING stays pytest-gated (ivf_centroids is iterative
+    float64; a SQL twin of Lloyd iterations would pin nothing useful)."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (emb.filter(F.col("vec_id") < IVF_N_CENT).orderBy("vec_id")
+            .select("embedding").collect())
+    cents = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"), "embedding"))
+    return similarity.ivf_cosine_topk(emb, q, k=5, n_probe=IVF_N_PROBE,
+                                      centroids=cents, sim_round=6)
+
+
+IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+cent AS (SELECT vec_id::INT AS centroid_id, v AS cv, nn AS cn
+         FROM n WHERE vec_id < {IVF_N_CENT}),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, ct.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_dot_product(c.v, ct.cv)
+                            / (c.nn * ct.cn), 6) DESC,
+                      ct.centroid_id ASC) AS rn
+    FROM n c CROSS JOIN cent ct) WHERE rn = 1),
+qp AS (
+  SELECT qid, qv, qn, centroid_id FROM (
+    SELECT q.vec_id AS qid, q.v AS qv, q.nn AS qn, ct.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, ct.cv)
+                            / (q.nn * ct.cn), 6) DESC,
+                      ct.centroid_id ASC) AS rn
+    FROM n q CROSS JOIN cent ct WHERE q.vec_id < 5) WHERE rn <= {IVF_N_PROBE}),
+scored AS (
+  SELECT qp.qid, c.vec_id AS nbr_id,
+         round(list_dot_product(c.v, qp.qv) / (c.nn * qp.qn), 6) AS cosine
+  FROM n c
+  JOIN assign a ON c.vec_id = a.vec_id
+  JOIN qp ON a.centroid_id = qp.centroid_id),
+ranked AS (
+  SELECT qid, nbr_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nbr_id ASC)::INT AS rank
+  FROM scored)
+SELECT qid, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_repetition(spark, sf_dir):
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+REPETITION_SQL = f"""
+WITH d AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+uni AS (SELECT doc_id, unnest(ws) AS w FROM d),
+uc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM uni GROUP BY 1, 2),
+us AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS ntypes,
+              max(c)::BIGINT AS maxc, sum(c * ln(c)) AS sumclnc
+       FROM uc GROUP BY 1),
+bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(ws) - 1),
+                                    i -> ws[i] || ' ' || ws[i + 1])) AS b
+       FROM d),
+bc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, sum(c)::BIGINT AS n, max(c)::BIGINT AS maxc
+       FROM bc GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(us.n, 0)::BIGINT AS n_words,
+       coalesce(us.ntypes, 0)::BIGINT AS n_types,
+       round(coalesce(us.ntypes / us.n::DOUBLE, 0), 6) AS type_token_ratio,
+       round(coalesce(us.maxc / us.n::DOUBLE, 0), 6) AS top_unigram_frac,
+       round(coalesce(bs.maxc / bs.n::DOUBLE, 0), 6) AS top_bigram_frac,
+       round(coalesce(ln(us.n::DOUBLE) - us.sumclnc / us.n, 0), 6)
+           AS unigram_entropy
+FROM d LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)
+"""
+
+
+def q_source_mix(spark, sf_dir):
+    return textstats.source_mix(_docs(spark, sf_dir))
+
+
+SOURCE_MIX_SQL = """
+SELECT source, lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS tot_chars,
+       round(count(*)::DOUBLE
+             / sum(count(*)) OVER (PARTITION BY source)::DOUBLE, 6)
+           AS share_of_source
+FROM documents GROUP BY source, lang
+"""
+
+
+def q_curate(spark, sf_dir):
+    """The ENTIRE curation DAG (quality + repetition filters -> exact dedup
+    -> MinHash-LSH near dedup, bucket cap on) as one oracle-gated entry:
+    the SQL twin replays every stage — feature thresholds on the same
+    6dp-rounded values both engines already hash-agree on, md5 winner
+    selection, banded LSH with the cap's HAVING clause, exact-Jaccard
+    verification at the same >= threshold — so the composed pipeline, not
+    just its pieces, is value-hash pinned. Catalog side-effects (metrics
+    rows) go to a throwaway tmp dir."""
+    import tempfile
+
+    from .operators.curate import CurateConfig, curate_corpus
+    from .sources.tables import Catalog
+
+    cat = Catalog(tempfile.mkdtemp(prefix="curate_entry_"))
+    curated, _ = curate_corpus(spark, _t(spark, sf_dir, "documents"), cat,
+                               CurateConfig())
+    return curated
+
+
+def _curate_sql() -> str:
+    cfg_minq, cfg_minw, cfg_maxw = 0.4, 5, 100_000
+    cfg_maxbg, cfg_jac, cfg_cap = 0.3, 0.8, dedup.DEFAULT_MAX_BUCKET
+    n, bands = dedup.MINHASH_N, dedup.LSH_BANDS
+    rpb = n // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5("
+        + " || '|' || ".join(f"mh_{b * rpb + r}::VARCHAR" for r in range(rpb))
+        + ") AS band_key FROM sigs"
+        for b in range(bands))
+    return f"""
+WITH src AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+w AS (SELECT doc_id, text, {WORDS_SQL} AS ws FROM documents),
+qfeat AS (
+  SELECT doc_id, length(text) AS qc, len(ws)::INT AS qw,
+         CASE WHEN len(ws) > 0 THEN
+           list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE
+           / len(ws) ELSE 0.0 END AS mwl,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd
+  FROM w),
+q AS (
+  SELECT doc_id,
+    round(0.4 * (CASE WHEN qw BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (1.0 - least(
+            (CASE WHEN qc > 0 THEN np / qc ELSE 0.0 END) * 10, 1.0))
+        + 0.2 * (1.0 - least(
+            (CASE WHEN qc > 0 THEN nd / qc ELSE 0.0 END) * 5, 1.0)), 6)
+      AS quality_score
+  FROM qfeat),
+uni AS (SELECT doc_id, unnest(ws) AS word FROM w),
+uc AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM uni GROUP BY 1, 2),
+us AS (SELECT doc_id, sum(c)::BIGINT AS nw FROM uc GROUP BY 1),
+bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(ws) - 1),
+                                    i -> ws[i] || ' ' || ws[i + 1])) AS b
+       FROM w),
+bc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, sum(c)::BIGINT AS nb, max(c)::BIGINT AS maxc
+       FROM bc GROUP BY 1),
+rep AS (SELECT w.doc_id, coalesce(us.nw, 0) AS n_words,
+               round(coalesce(bs.maxc / bs.nb::DOUBLE, 0), 6) AS tbf
+        FROM w LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)),
+ok AS (
+  SELECT s.* FROM src s JOIN q USING (doc_id) JOIN rep USING (doc_id)
+  WHERE q.quality_score >= {cfg_minq}
+    AND rep.n_words BETWEEN {cfg_minw} AND {cfg_maxw}
+    AND rep.tbf <= {cfg_maxbg}),
+hashed AS (SELECT *, md5({NORM_SQL}) AS th FROM ok),
+winners AS (SELECT th, min(doc_id) AS doc_id FROM hashed GROUP BY 1),
+exact_kept AS (
+  SELECT h.* FROM hashed h
+  JOIN winners wi ON h.th = wi.th AND h.doc_id = wi.doc_id),
+norm2 AS (SELECT doc_id, {NORM_SQL} AS t FROM exact_kept),
+sh AS (SELECT doc_id, t,
+              unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
+       FROM norm2),
+shingles AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS shingle FROM sh),
+sigs AS ({_minhash_sql_exprs()}),
+buckets AS ({band_selects}),
+capped AS (SELECT band_id, band_key FROM buckets
+           GROUP BY 1, 2 HAVING count(*) <= {cfg_cap}),
+bk AS (SELECT b.* FROM buckets b JOIN capped USING (band_id, band_key)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b
+       ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+common AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS c
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM common JOIN sizes za ON za.doc_id = doc_a
+              JOIN sizes zb ON zb.doc_id = doc_b
+  WHERE c / (za.n + zb.n - c) >= {cfg_jac})
+SELECT doc_id, text, lang, source, n_chars
+FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+CURATE_SQL = _curate_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1065,11 +1281,15 @@ QUERY_FNS = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_multiprobe": q_ann_multiprobe,
     "ann_margin_probe": q_ann_margin,
+    "ivf_topk": q_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_fingerprint,
+    "repetition_stats": q_repetition,
+    "source_mix": q_source_mix,
+    "curate_pipeline": q_curate,
     "agg_maxp": q_agg_maxp,
     "agg_sump": q_agg_sump,
     "agg_firstp": q_agg_firstp,
@@ -1103,11 +1323,15 @@ ORACLE_SQL = {
     "ann_cosine_topk": ANN_TOPK_SQL,
     "ann_multiprobe": ANN_MULTIPROBE_SQL,
     "ann_margin_probe": ANN_MARGIN_SQL,
+    "ivf_topk": IVF_TOPK_SQL,
     "embedding_neardup": EMB_NEARDUP_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
+    "repetition_stats": REPETITION_SQL,
+    "source_mix": SOURCE_MIX_SQL,
+    "curate_pipeline": CURATE_SQL,
     "agg_maxp": AGG_MAXP_SQL,
     "agg_sump": AGG_SUMP_SQL,
     "agg_firstp": AGG_FIRSTP_SQL,

@@ -200,14 +200,29 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16, seed: int = 42,
     return cents
 
 
+def _round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
+    """Round-half-away-from-zero (the Spark `F.round` / DuckDB `round`
+    convention — numpy's own `np.round` is half-to-even, which would
+    disagree with both engines exactly at a .5 boundary)."""
+    s = 10.0 ** decimals
+    return np.trunc(x * s + np.copysign(0.5, x)) / s
+
+
 def ivf_assignments(emb: DataFrame, cents: np.ndarray,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    sim_round: int | None = None) -> DataFrame:
     """(vec_id, centroid_id): argmax cosine against broadcast centroids —
     one vectorized Arrow pass, corpus-parallel. In a real deployment this
     is MATERIALIZED once per trained quantizer (write it to a table) and
     passed back into ``ivf_cosine_topk(assignments=...)`` so query batches
-    never re-scan the corpus to re-derive cells (VERDICT r3 item 4)."""
+    never re-scan the corpus to re-derive cells (VERDICT r3 item 4).
+
+    ``sim_round``: round similarities to this many decimals BEFORE the
+    argmax (ties then resolve to the lowest centroid_id — np.argmax takes
+    the first maximum). Pins cell assignment across engines/summation
+    orders; the `ivf_topk` oracle entry replays exactly this rule in SQL.
+    """
     from pyspark.sql import types as T
     c = cents  # closure-captured, broadcast with the task binary
 
@@ -217,6 +232,8 @@ def ivf_assignments(emb: DataFrame, cents: np.ndarray,
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
                                1e-12)
             sims = (mat / norms) @ c.T
+            if sim_round is not None:
+                sims = _round_half_away(sims, sim_round)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"],
                 "centroid_id": sims.argmax(axis=1).astype(np.int32)})
@@ -237,7 +254,8 @@ def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                     n_centroids: int = 16, n_probe: int = 2, seed: int = 42,
                     iters: int = 3,
                     centroids: np.ndarray | None = None,
-                    assignments: DataFrame | None = None) -> DataFrame:
+                    assignments: DataFrame | None = None,
+                    sim_round: int | None = None) -> DataFrame:
     """Approximate top-k via an IVF inverted-list probe: each query scores
     only the corpus cells of its `n_probe` nearest centroids — the
     classic IVF economics (probe fraction ~= n_probe / n_centroids of the
@@ -245,11 +263,18 @@ def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     `assignments` (a materialized ``ivf_assignments`` table with columns
     vec_id, centroid_id) to skip the per-call corpus re-assignment scan —
     the steady-state serving shape, where only the tiny query batch does
-    any new work per call (VERDICT r3 item 4)."""
+    any new work per call (VERDICT r3 item 4).
+
+    ``sim_round``: when set, every similarity that drives a CHOICE
+    (cell assignment argmax, probe-cell selection, final ranking) is
+    rounded to that many decimals first, with deterministic id-ascending
+    tie-breaks — the cross-engine pinning convention the oracle registry
+    uses, so the full IVF serving path is value-hash comparable to a SQL
+    twin. Default None keeps raw float64 behavior."""
     if centroids is None:
         centroids = ivf_centroids(emb, n_centroids, seed, iters)
     cell = (assignments if assignments is not None
-            else ivf_assignments(emb, centroids))
+            else ivf_assignments(emb, centroids, sim_round=sim_round))
     corpus = (emb.join(cell, "vec_id")
               .withColumnRenamed("vec_id", "nbr_id"))
 
@@ -261,7 +286,11 @@ def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
                                1e-12)
             sims = (mat / norms) @ cq.T
-            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            if sim_round is not None:
+                sims = _round_half_away(sims, sim_round)
+            # stable sort: equal sims resolve to the LOWER centroid_id —
+            # the same (sim DESC, centroid_id ASC) order a SQL twin ranks by
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             n = len(pdf)
             yield pd.DataFrame({
                 "qid": pdf["qid"].repeat(n_probe).reset_index(drop=True),
@@ -280,10 +309,12 @@ def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     qq = (with_norm(queries).select("qid", F.col("_vec").alias("qv"),
                                     F.col("_norm").alias("qn"))
           .join(qcells, "qid"))
+    cos = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
+    if sim_round is not None:
+        cos = F.round(cos, sim_round)
     scored = (
         c.join(F.broadcast(qq), "centroid_id")
-        .withColumn("cosine", _dot(F.col("cv"), F.col("qv"))
-                    / (F.col("cn") * F.col("qn")))
+        .withColumn("cosine", cos)
         .select("qid", "nbr_id", "cosine")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny pinned function-word lists (n-gram-free heuristic language ID)
@@ -46,9 +46,12 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
 
 
 def quality_features(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-doc quality features (length, word stats, punct/digit/stopword
-    ratios) + a pinned composite score in [0,1]."""
+    ratios) + a pinned composite score in [0,1]. ``keep`` names input
+    columns to pass through unchanged, so feature stages CHAIN as narrow
+    maps instead of re-joining on doc_id (see operators/curate.py)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     words = F.split(F.lower(t), r"[^a-z0-9]+")
@@ -73,6 +76,7 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
              + 0.2 * (1.0 - F.least(digit_ratio * 5, F.lit(1.0))))
     return docs.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep],
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
@@ -108,6 +112,98 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return docs.select(F.col(id_col).alias("doc_id"),
                        F.md5(norm).alias("fingerprint"))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     keep: tuple[str, ...] = ()) -> DataFrame:
+    """Gopher-style word-level repetition features (Rae et al. 2021 §A1.1
+    use line/paragraph duplication plus top-n-gram character share as
+    quality filters; this corpus is single-line word text, so the word-level
+    family is the meaningful one): type-token ratio, top-unigram share,
+    top-bigram share, and unigram entropy.
+
+    ZERO-shuffle plan: per-doc features come from `array_sort` + one
+    `F.aggregate` run-length pass over the sorted token array — all
+    JVM-side catalyst expressions, no explode/groupBy token shuffle, so at
+    100 TB this is a pure map stage that pipelines with the parquet scan.
+
+    Entropy is H = ln(n) - (sum_types c*ln c)/n; all ratios rounded to 6dp
+    (the registry's cross-engine float convention). ``keep`` passes input
+    columns through so feature stages chain shuffle-free.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(F.lower(t), r"[^a-z0-9]+"), lambda w: w != "")
+
+    def run_stats(arr_sql: str, prefix: str):
+        """(n, ntypes, max_run, sum c*ln c) over a SORTED string array via
+        one aggregate pass; returns SQL for a struct column."""
+        return f"""
+        aggregate(
+          array_sort({arr_sql}),
+          struct('' AS prev, 0L AS run, 0L AS ntypes, 0L AS maxrun,
+                 0.0D AS sumclnc, 0L AS n),
+          (acc, w) -> IF(w = acc.prev,
+            struct(w AS prev, acc.run + 1L AS run, acc.ntypes AS ntypes,
+                   acc.maxrun AS maxrun, acc.sumclnc AS sumclnc,
+                   acc.n + 1L AS n),
+            struct(w AS prev, 1L AS run, acc.ntypes + 1L AS ntypes,
+                   greatest(acc.maxrun, acc.run) AS maxrun,
+                   acc.sumclnc + IF(acc.run > 0L,
+                                    CAST(acc.run AS DOUBLE) * ln(acc.run),
+                                    0.0D) AS sumclnc,
+                   acc.n + 1L AS n)),
+          acc -> struct(
+            acc.n AS n, acc.ntypes AS ntypes,
+            greatest(acc.maxrun, acc.run) AS maxrun,
+            acc.sumclnc + IF(acc.run > 0L,
+                             CAST(acc.run AS DOUBLE) * ln(acc.run),
+                             0.0D) AS sumclnc)
+        ) AS {prefix}"""
+
+    bigrams_sql = ("zip_with(slice(_w, 1, greatest(size(_w) - 1, 0)), "
+                   "slice(_w, 2, greatest(size(_w) - 1, 0)), "
+                   "(a, b) -> concat(a, ' ', b))")
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       *[F.col(c) for c in keep], words.alias("_w"))
+    st = base.selectExpr("doc_id", *[f"`{c}`" for c in keep],
+                         run_stats("_w", "u"), run_stats(bigrams_sql, "b"))
+    n = F.col("u.n").cast("double")
+    safe = F.when(n > 0, n)
+    return st.select(
+        "doc_id",
+        *[F.col(c) for c in keep],
+        F.col("u.n").alias("n_words"),
+        F.col("u.ntypes").alias("n_types"),
+        F.round(F.coalesce(F.col("u.ntypes") / safe, F.lit(0.0)), 6)
+        .alias("type_token_ratio"),
+        F.round(F.coalesce(F.col("u.maxrun") / safe, F.lit(0.0)), 6)
+        .alias("top_unigram_frac"),
+        F.round(F.coalesce(F.col("b.maxrun")
+                           / F.when(F.col("b.n") > 0,
+                                    F.col("b.n").cast("double")),
+                           F.lit(0.0)), 6).alias("top_bigram_frac"),
+        F.round(F.coalesce(F.log(n) - F.col("u.sumclnc") / safe,
+                           F.lit(0.0)), 6).alias("unigram_entropy"),
+    )
+
+
+def source_mix(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus-composition stats per (source, lang) — the domain-mixing
+    table a training-data pipeline reports before sampling: doc counts,
+    char volume, and each language's share within its source. Low-key-
+    cardinality groupBy (partial aggregation makes the shuffle rows ~=
+    n_sources x n_langs x n_tasks, not n_docs) + one tiny window."""
+    g = (docs.groupBy("source", "lang")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum("n_chars").alias("tot_chars")))
+    w = Window.partitionBy("source")
+    return g.select(
+        "source", "lang", "n_docs", "tot_chars",
+        F.round(F.col("n_docs")
+                / F.sum("n_docs").over(w).cast("double"), 6)
+        .alias("share_of_source"))
 
 
 def winnowing_fingerprints(docs: DataFrame, k: int = 7, window: int = 4,
