@@ -375,6 +375,9 @@ def main() -> None:
         "append_docs_per_sec": result.get("append_docs_per_sec"),
         "bmw_batch50_sec": result.get("bmw_batch50_sec"),
         "exact_batch50_sec": result.get("exact_batch50_sec"),
+        "curate_sec": result.get("curate_sec"),
+        "curate_docs_per_sec": result.get("curate_docs_per_sec"),
+        "curate_rows_out": result.get("curate_rows_out"),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":

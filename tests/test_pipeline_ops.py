@@ -527,3 +527,37 @@ def test_ivf_sim_round_pins_ties_to_lowest_centroid(spark):
     # cosine values are 6dp-rounded (ranking happened over rounded scores)
     for r in top:
         assert r["cosine"] == round(r["cosine"], 6)
+
+
+def test_cap_buckets_window_impl_matches_join_and_cuts_exchanges(spark):
+    """The default-on bucket cap must not double the dedup plan: the
+    "window" impl computes bucket sizes with one count-over-window
+    exchange (whose partitioning the band self-join reuses), while the
+    legacy "join" impl recomputes the signature subtree for a sizes
+    aggregate plus a semi-join. Results (and drop reports) must be
+    identical; the window plan must be strictly smaller."""
+    rows = [(i, "dup dup dup common boilerplate text here")
+            for i in range(30)]
+    rows += [(100 + i, f"unique document number {i} with words {i * 7}")
+             for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(dedup.char_shingles(d)).cache()
+    try:
+        res, plans, reports = {}, {}, {}
+        orig = dedup._CAP_IMPL
+        for impl in ("window", "join"):
+            dedup._CAP_IMPL = impl
+            rep: dict = {}
+            df = dedup.minhash_lsh_pairs(sigs, max_bucket=10,
+                                         drop_report=rep)
+            res[impl] = sorted(tuple(r) for r in df.collect())
+            reports[impl] = rep
+            plans[impl] = (df._jdf.queryExecution().executedPlan()
+                           .toString().count("Exchange"))
+        dedup._CAP_IMPL = orig
+        assert res["window"] == res["join"]
+        assert reports["window"] == reports["join"]
+        assert reports["window"]["dropped_rows"] > 0  # cap really fired
+        assert plans["window"] < plans["join"]
+    finally:
+        sigs.unpersist()

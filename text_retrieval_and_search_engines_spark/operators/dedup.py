@@ -100,6 +100,18 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = MINHASH_N
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+import os as _os
+
+# Bucket-cap implementation A/B dial (same precedent as
+# $SPARK_GRAFT_TOKENIZER): "window" computes bucket sizes with ONE
+# count-over-window exchange whose hash partitioning the downstream
+# band-bucket self-join then reuses (ReusedExchange — the cap adds zero
+# net shuffles); "join" is the previous groupBy-sizes + left-semi shape
+# (two extra exchanges + a recompute of the bucket subtree), kept for
+# interleaved A/B measurement on this noise-prone VM.
+_CAP_IMPL = _os.environ.get("SPARK_GRAFT_CAP_IMPL", "window")
+
+
 def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int,
                  drop_report: dict | None = None) -> DataFrame:
     """Drop band buckets larger than `max_bucket` members: a degenerate
@@ -109,22 +121,28 @@ def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int,
     byte-identical core. Off when max_bucket <= 0.
 
     When `drop_report` is given, the dropped volume is COUNTED and surfaced
-    (one extra aggregate over the already-computed bucket counts): silent
-    truncation reads as full coverage when it is not."""
+    (one extra aggregate job over the bucket counts): silent truncation
+    reads as full coverage when it is not."""
     if max_bucket <= 0:
         if drop_report is not None:
             drop_report.update(dropped_buckets=0, dropped_rows=0,
                                max_bucket=0)
         return buckets
-    sizes = buckets.groupBy(*keys).count()
     if drop_report is not None:
-        over = (sizes.filter(F.col("count") > max_bucket)
+        over = (buckets.groupBy(*keys).count()
+                .filter(F.col("count") > max_bucket)
                 .agg(F.count("*").alias("b"),
                      F.coalesce(F.sum("count"), F.lit(0)).alias("r"))
                 .collect()[0])
         drop_report.update(dropped_buckets=int(over["b"]),
                            dropped_rows=int(over["r"]),
                            max_bucket=max_bucket)
+    if _CAP_IMPL == "window":
+        from pyspark.sql import Window
+        w = Window.partitionBy(*keys)
+        return (buckets.withColumn("_bn", F.count("*").over(w))
+                .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    sizes = buckets.groupBy(*keys).count()
     ok = sizes.filter(F.col("count") <= max_bucket).drop("count")
     return buckets.join(ok, keys, "left_semi")
 
