@@ -1,0 +1,114 @@
+"""PII redaction + benchmark decontamination + duplicated-span operators:
+planted-case semantics and the plan shapes the 100 TB story depends on
+(PII is shuffle-free; the benchmark n-gram side is broadcast)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from text_retrieval_and_search_engines_spark.operators import decontam, pii  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (0, "reach me at alice.smith+x@mail.example.org thanks"),
+        (1, "server at 192.168.1.250 and backup 10.0.0.7"),
+        (2, "call 555-123-4567 or 800.555.1212 today"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "plain text with no sensitive content at all"),
+        (5, "multi a@b.co c@d.io 1.2.3.4 555-000-1111 999-88-7777"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_counts_planted(pii_docs):
+    out = {r["doc_id"]: r.asDict()
+           for r in pii.pii_features(pii_docs).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["has_pii"] == 1
+    assert out[1]["n_ipv4"] == 2
+    assert out[2]["n_phone"] == 2
+    assert out[3]["n_ssn"] == 1
+    assert out[4] == {"doc_id": 4, "n_email": 0, "n_ssn": 0, "n_phone": 0,
+                      "n_ipv4": 0, "has_pii": 0}
+    assert out[5]["n_email"] == 2 and out[5]["n_ipv4"] == 1
+    assert out[5]["n_phone"] == 1 and out[5]["n_ssn"] == 1
+
+
+def test_redaction_is_a_fixpoint(pii_docs):
+    """Re-running detection on redacted text finds nothing — the pinned
+    pattern order leaves no residual matches."""
+    red = pii.pii_redact(pii_docs).withColumnRenamed("redacted", "text")
+    residual = (pii.pii_features(red)
+                .agg(F.sum("has_pii").alias("s")).collect()[0]["s"])
+    assert residual == 0
+    texts = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert "<EMAIL>" in texts[0] and "alice" not in texts[0]
+    assert texts[5].count("<EMAIL>") == 2 and "<SSN>" in texts[5]
+
+
+def test_pii_features_is_shuffle_free(pii_docs):
+    plan = (pii.pii_features(pii_docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_contamination_flags_planted(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame([
+        (0, "we saw the quick brown fox run away yesterday"),   # 3-gram hit
+        (1, "completely unrelated sentences about databases"),
+        (2, "lazy dog sleeping"),                                # only 2-gram
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in decontam.contamination_stats(docs, bench, n=3).collect()}
+    assert out[0]["contaminated"] == 1 and out[0]["n_hits"] == 2  # two windows
+    assert out[1]["contaminated"] == 0 and out[1]["n_hits"] == 0
+    assert out[2]["contaminated"] == 0
+    assert out[2]["n_windows"] == 1  # 3 words -> one window
+
+
+def test_contamination_bench_side_is_broadcast(spark):
+    bench = spark.createDataFrame([(0, "a b c d e")],
+                                  "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a b c x y")],
+                                 "doc_id long, text string")
+    plan = (decontam.contamination_stats(docs, bench, n=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dup_spans_planted(spark):
+    boiler = "all rights reserved copyright twenty twenty four site map"
+    docs = spark.createDataFrame([
+        (0, "unique page about spark joins and shuffles here " + boiler),
+        (1, "another page on varbyte posting compression text " + boiler),
+        (2, "a page with entirely original content and nothing shared"),
+        (3, "echo echo " + " ".join(["repeat"] * 12)),  # within-doc repeats
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in decontam.dup_span_stats(docs, n=8).collect()}
+    # the 9-word boilerplate tail yields >=2 shared 8-gram windows per doc
+    assert out[0]["n_dup_windows"] >= 2 and out[1]["n_dup_windows"] >= 2
+    assert out[2]["n_dup_windows"] == 0 and out[2]["dup_frac"] == 0.0
+    # 12x "repeat" duplicates its own windows corpus-wide
+    assert out[3]["n_dup_windows"] > 0
+    for r in out.values():
+        assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_short_doc_has_empty_window_set(spark):
+    docs = spark.createDataFrame([(0, "only four words here"),
+                                  (1, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in decontam.dup_span_stats(docs, n=8).collect()}
+    assert out[0]["n_windows"] == 0 and out[0]["dup_frac"] == 0.0
+    assert out[1]["n_windows"] == 0

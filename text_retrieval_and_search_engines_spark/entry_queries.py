@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import aggregation as agg_ops
-from .operators import dedup, evaluation, fusion, similarity, textstats
+from .operators import (decontam, dedup, evaluation, fusion, pii,
+                        similarity, textstats)
 from .plans import bm25_relational as bm25
 
 # ---------------------------------------------------------------------------
@@ -1260,6 +1261,100 @@ FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 CURATE_SQL = _curate_sql()
 
 
+# PII / decontamination / duplicated spans -----------------------------------
+#
+# The documents fixture is synthetic prose with no real PII, so the pii_stats
+# entry SALTS deterministic PII into the text identically on both sides
+# (email for every doc; ip/phone/ssn keyed off doc_id residues) — the entry
+# then exercises every pattern, the redaction order, and the clean branches.
+
+def _salted_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.withColumn("text", F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.org"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" ip 10."),
+                        (F.col("doc_id") % 200).cast("string"),
+                        F.lit(".0."),
+                        (F.col("doc_id") % 250).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" call 555-"),
+                        (100 + F.col("doc_id") % 900).cast("string"),
+                        F.lit("-"),
+                        (1000 + F.col("doc_id") % 9000).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" ssn 123-45-"),
+                        (1000 + F.col("doc_id") % 9000).cast("string")))
+        .otherwise(F.lit("")),
+    ))
+
+
+_SALTED_SQL = """
+SELECT doc_id,
+       text || ' contact user' || doc_id::VARCHAR || '@example.org'
+  || CASE WHEN doc_id % 3 = 0 THEN ' ip 10.' || (doc_id % 200)::VARCHAR
+          || '.0.' || (doc_id % 250)::VARCHAR ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+          || (100 + doc_id % 900)::VARCHAR
+          || '-' || (1000 + doc_id % 9000)::VARCHAR ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-'
+          || (1000 + doc_id % 9000)::VARCHAR ELSE '' END AS t
+FROM documents
+"""
+
+
+def q_pii_stats(spark, sf_dir):
+    salted = _salted_docs(spark, sf_dir)
+    feats = pii.pii_features(salted)
+    red = pii.pii_redact(salted).select(
+        "doc_id", F.md5("redacted").alias("redacted_md5"))
+    return feats.join(red, "doc_id")
+
+
+def _pii_sql() -> str:
+    e = pii.pii_sql_exprs("t")
+    total = " + ".join(e[f"n_{name}"] for name, _, _ in pii.PII_PATTERNS)
+    count_cols = ", ".join(
+        f"{e[f'n_{name}']}::BIGINT AS n_{name}"
+        for name, _, _ in pii.PII_PATTERNS)
+    return f"""
+WITH salted AS ({_SALTED_SQL})
+SELECT doc_id, {count_cols},
+       (({total}) > 0)::INT AS has_pii,
+       md5({e['redacted']}) AS redacted_md5
+FROM salted
+"""
+
+
+PII_SQL = _pii_sql()
+
+
+# Benchmark set = every 25th doc; the corpus under test is the rest. n=3
+# word-grams so the synthetic prose yields BOTH contaminated and clean docs
+# (sf0.01: 364 contaminated / 116 clean — each branch exercised).
+def q_decontaminate(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 25 == 0)
+    corpus = d.filter(F.col("doc_id") % 25 != 0)
+    return decontam.contamination_stats(corpus, bench, n=3)
+
+
+DECONTAM_SQL = decontam.contamination_sql(
+    "(SELECT * FROM documents WHERE doc_id % 25 != 0)",
+    "(SELECT * FROM documents WHERE doc_id % 25 = 0)", n=3)
+
+
+def q_dup_spans(spark, sf_dir):
+    return decontam.dup_span_stats(_docs(spark, sf_dir), n=8)
+
+
+DUP_SPANS_SQL = decontam.dup_span_sql("documents", n=8)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1290,6 +1385,9 @@ QUERY_FNS = {
     "repetition_stats": q_repetition,
     "source_mix": q_source_mix,
     "curate_pipeline": q_curate,
+    "pii_stats": q_pii_stats,
+    "decontaminate": q_decontaminate,
+    "dup_spans": q_dup_spans,
     "agg_maxp": q_agg_maxp,
     "agg_sump": q_agg_sump,
     "agg_firstp": q_agg_firstp,
@@ -1332,6 +1430,9 @@ ORACLE_SQL = {
     "repetition_stats": REPETITION_SQL,
     "source_mix": SOURCE_MIX_SQL,
     "curate_pipeline": CURATE_SQL,
+    "pii_stats": PII_SQL,
+    "decontaminate": DECONTAM_SQL,
+    "dup_spans": DUP_SPANS_SQL,
     "agg_maxp": AGG_MAXP_SQL,
     "agg_sump": AGG_SUMP_SQL,
     "agg_firstp": AGG_FIRSTP_SQL,

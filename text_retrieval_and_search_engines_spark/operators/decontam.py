@@ -1,0 +1,209 @@
+"""Benchmark decontamination + duplicated-substring-span statistics.
+
+Two corpus hygiene operators every large-scale training-data pipeline
+runs before the index/training stage (the reference repo assumes a clean
+corpus — final-project/src/data_loading.py — this engine supplies the
+cleaning):
+
+* ``contamination_stats`` — GPT-3-appendix-style n-gram decontamination:
+  flag corpus documents that share any word n-gram with a benchmark/eval
+  set, so evaluation text never leaks into training data. The benchmark
+  side is SMALL by definition (thousands of eval items), so its distinct
+  n-gram hashes are broadcast; the corpus side stays a narrow map +
+  broadcast hash join — no corpus-sized shuffle. The only Exchange is the
+  per-doc aggregate over MATCHED windows, which is tiny by construction.
+
+* ``dup_span_stats`` — Lee et al. 2021 ("Deduplicating Training Data
+  Makes Language Models Better") substring-level duplication, expressed
+  relationally: every length-n word window is hashed; a window is a
+  duplicated span iff its hash occurs >= min_count times across the
+  WHOLE corpus (within-doc repeats count). Per-doc output is the
+  duplicated-window fraction, the curation signal used to drop
+  boilerplate-heavy pages. Scale shape: the exploded window frame is
+  O(tokens) rows of (int64 hash) — exactly the index build's posting
+  volume — and the hash groupBy is safe under head-key skew because
+  partial aggregation collapses each task's contribution to its distinct
+  hashes before the exchange (a 'the quick brown fox'-class boilerplate
+  gram costs one row per task, not one per occurrence).
+
+Both join on the pinned h64 hash (operators/dedup.h64) rather than the
+gram string — 8-byte shuffle keys instead of arbitrary-length text — and
+the DuckDB twins join on the SAME h64_sql value, so the oracle exercises
+identical semantics, collisions included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import h64, h64_sql
+
+NGRAM_SEED = "ng:"
+
+
+def word_ngram_array(text_col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of ``text_col`` (lowercased,
+    [^a-z0-9]+ split — the engine's pinned word tokenization). Empty array
+    when the doc has fewer than n words. Pure codegen: split + transform
+    over a sequence of window starts; no explode, no shuffle."""
+    words = F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"),
+                     lambda w: w != "")
+    # sequence(0, size-n) DESCENDS when size < n (Spark semantics) — guard.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.when(F.size(words) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def ngram_sql(n: int, text_expr: str = "text") -> str:
+    """DuckDB twin of word_ngram_array (1-based list_slice, same guard)."""
+    words = (f"list_filter(string_split_regex(lower({text_expr}), "
+             f"'[^a-z0-9]+'), w -> w != '')")
+    return (
+        f"CASE WHEN len({words}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({words}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({words}, i, i + {n - 1}), ' ')) "
+        f"ELSE [] END")
+
+
+def benchmark_ngrams(bench: DataFrame, n: int,
+                     text_col: str = "text") -> DataFrame:
+    """Distinct h64 hashes of every word n-gram in the benchmark set —
+    the broadcast side of contamination_stats. Distinct keeps the
+    broadcast minimal; at real benchmark sizes (10^3-10^5 items) this is
+    a few MB."""
+    return (bench
+            .select(F.explode(word_ngram_array(F.col(text_col), n))
+                    .alias("gram"))
+            .select(h64(F.col("gram"), NGRAM_SEED).alias("gram_h"))
+            .distinct())
+
+
+def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-doc benchmark contamination: (doc_id, n_windows, n_hits,
+    contaminated). A doc is contaminated iff ANY of its word n-grams
+    appears in the benchmark set (the GPT-3 appendix-C rule, n=13 there;
+    parameterized here because the right n tracks tokenizer granularity).
+
+    Plan: corpus docs -> narrow map producing (doc_id, n_windows, grams)
+    -> explode -> INNER broadcast join against the benchmark hashes ->
+    groupBy(doc_id) count over matched rows only -> left join counts back
+    onto the per-doc frame (hits frame is bounded by contaminated volume,
+    not corpus size)."""
+    bgrams = F.broadcast(benchmark_ngrams(bench, n, text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_ngram_array(F.col(text_col), n).alias("grams"))
+    per_doc = base.select(
+        "doc_id", F.size("grams").cast("long").alias("n_windows"))
+    hits = (base
+            .select("doc_id", F.explode("grams").alias("gram"))
+            .select("doc_id", h64(F.col("gram"), NGRAM_SEED).alias("gram_h"))
+            .join(bgrams, "gram_h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits")))
+    return (per_doc
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id", "n_windows",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                .alias("n_hits"))
+            .withColumn("contaminated", (F.col("n_hits") > 0).cast("int")))
+
+
+def contamination_sql(docs_rel: str, bench_rel: str, n: int = 5) -> str:
+    """DuckDB twin of contamination_stats (same h64 join keys)."""
+    g = ngram_sql(n)
+    h = h64_sql("gram", NGRAM_SEED)
+    return f"""
+WITH bgrams AS (
+  SELECT DISTINCT {h} AS gram_h
+  FROM (SELECT unnest({g}) AS gram FROM {bench_rel})),
+base AS (SELECT doc_id, {g} AS grams FROM {docs_rel}),
+per_doc AS (SELECT doc_id, len(grams)::BIGINT AS n_windows FROM base),
+exploded AS (
+  SELECT doc_id, {h} AS gram_h
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM base)),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hits
+  FROM exploded JOIN bgrams USING (gram_h)
+  GROUP BY doc_id)
+SELECT p.doc_id, p.n_windows,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) > 0)::INT AS contaminated
+FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+"""
+
+
+def dup_span_stats(docs: DataFrame, n: int = 10, min_count: int = 2,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-doc duplicated-substring-span fraction: (doc_id, n_windows,
+    n_dup_windows, dup_frac). A window is duplicated iff its n-gram hash
+    occurs >= min_count times corpus-wide (within-doc repeats included —
+    a page that repeats its own boilerplate is as much a dup-span source
+    as two pages sharing it).
+
+    Plan: one explode -> hash groupBy(gram_h) count (partial+final, skew
+    collapsed map-side) -> filter >= min_count -> shuffle hash join back
+    on gram_h -> groupBy(doc_id). Two exchanges over O(tokens) 8-byte
+    keys; the same volume the postings build moves, and it holds at 3.1B
+    postings (BENCH.md 20M-doc run)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_ngram_array(F.col(text_col), n).alias("grams"))
+    per_doc = base.select(
+        "doc_id", F.size("grams").cast("long").alias("n_windows"))
+    exploded = (base
+                .select("doc_id", F.explode("grams").alias("gram"))
+                .select("doc_id",
+                        h64(F.col("gram"), NGRAM_SEED).alias("gram_h")))
+    dup_grams = (exploded.groupBy("gram_h")
+                 .agg(F.count("*").alias("occ"))
+                 .filter(F.col("occ") >= min_count)
+                 .select("gram_h"))
+    dup_counts = (exploded.join(dup_grams, "gram_h")
+                  .groupBy("doc_id")
+                  .agg(F.count("*").alias("n_dup_windows")))
+    return (per_doc
+            .join(dup_counts, "doc_id", "left")
+            .select(
+                "doc_id", "n_windows",
+                F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
+                .alias("n_dup_windows"))
+            .withColumn(
+                "dup_frac",
+                F.round(F.when(F.col("n_windows") > 0,
+                               F.col("n_dup_windows")
+                               / F.col("n_windows"))
+                        .otherwise(F.lit(0.0)), 6)))
+
+
+def dup_span_sql(docs_rel: str, n: int = 10, min_count: int = 2) -> str:
+    """DuckDB twin of dup_span_stats."""
+    g = ngram_sql(n)
+    h = h64_sql("gram", NGRAM_SEED)
+    return f"""
+WITH base AS (SELECT doc_id, {g} AS grams FROM {docs_rel}),
+per_doc AS (SELECT doc_id, len(grams)::BIGINT AS n_windows FROM base),
+exploded AS (
+  SELECT doc_id, {h} AS gram_h
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM base)),
+dup_grams AS (
+  SELECT gram_h FROM exploded GROUP BY gram_h
+  HAVING count(*) >= {min_count}),
+dup_counts AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+  FROM exploded JOIN dup_grams USING (gram_h)
+  GROUP BY doc_id)
+SELECT p.doc_id, p.n_windows,
+       coalesce(d.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       round(CASE WHEN p.n_windows > 0
+             THEN coalesce(d.n_dup_windows, 0) / p.n_windows
+             ELSE 0.0 END, 6) AS dup_frac
+FROM per_doc p LEFT JOIN dup_counts d ON p.doc_id = d.doc_id
+"""
