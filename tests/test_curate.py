@@ -43,6 +43,7 @@ def test_curate_drops_every_reason_and_records_metrics(spark, planted,
     ids = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
     assert ids == [0, 1]
     assert stats == {"rows_in": 7, "dropped_quality": 2,
+                     "dropped_contaminated": 0, "dropped_dup_spans": 0,
                      "dropped_exact_dup": 2, "dropped_near_dup": 1,
                      "rows_out": 2}
     # schema preserved, extra columns intact
@@ -115,3 +116,47 @@ def test_curate_writes_out_path(spark, planted, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == stats["rows_out"]
     assert set(back.columns) == {"doc_id", "text", "lang", "source"}
+
+
+EVAL_TEXT = ("which query planner rewrites a broadcast join into a "
+             "shuffled hash join when the dimension table exceeds the "
+             "configured threshold during adaptive execution")
+
+
+def test_curate_optional_stages_redact_decontam_dupspan(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "ccat5"))
+    boiler = ("all rights reserved copyright notice site map terms of "
+              "service privacy policy contact us about this website here")
+    rows = [
+        (0, GOOD + " email me at bob@example.org please", "en", "s1"),
+        (1, GOOD2, "en", "s1"),
+        # benchmark leak: contains the eval doc's text verbatim
+        (2, "as the eval set says " + EVAL_TEXT + " end of page",
+         "en", "s2"),
+        # boilerplate-heavy: two pages sharing a long tail -> dup spans
+        (3, "page variant one mentions databases briefly then " + boiler,
+         "en", "s3"),
+        (4, "page variant two mentions compilers briefly then " + boiler,
+         "en", "s3"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    bench = spark.createDataFrame([(100, EVAL_TEXT)],
+                                  "doc_id long, text string")
+    curated, stats = curate_corpus(
+        spark, docs, cat,
+        CurateConfig(near="none", max_bucket=0, redact_pii=True,
+                     max_dup_frac=0.4, dup_span_ngram=8, decontam_ngram=13),
+        bench=bench)
+    ids = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+    assert ids == [0, 1]
+    assert stats["dropped_contaminated"] == 1      # doc 2
+    assert stats["dropped_dup_spans"] == 2         # docs 3 and 4
+    assert stats["rows_in"] == stats["rows_out"] + sum(
+        v for k, v in stats.items() if k.startswith("dropped_"))
+    texts = {r["doc_id"]: r["text"] for r in curated.collect()}
+    assert "<EMAIL>" in texts[0] and "bob@" not in texts[0]
+    m = cat.read_table(spark, "metrics").collect()
+    by = {(r["phase"], r["metric"]): r["value"] for r in m}
+    assert by[("curate", "dropped_contaminated")] == 1
+    assert by[("curate", "dropped_dup_spans")] == 2

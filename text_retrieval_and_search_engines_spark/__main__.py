@@ -99,6 +99,17 @@ def main(argv: list[str] | None = None) -> int:
     p_cu.add_argument("--near", default="minhash",
                       choices=["minhash", "simhash", "none"])
     p_cu.add_argument("--jaccard", type=float, default=0.8)
+    p_cu.add_argument("--redact-pii", action="store_true",
+                      help="replace emails/ssns/phones/ips with placeholder "
+                           "tokens before any other stage")
+    p_cu.add_argument("--max-dup-frac", type=float, default=None,
+                      help="drop docs whose duplicated-substring-span "
+                           "fraction exceeds this (Lee et al. style)")
+    p_cu.add_argument("--decontam-bench", default=None,
+                      help="parquet of benchmark/eval docs (needs the "
+                           "text column); docs sharing any n-gram with it "
+                           "are dropped")
+    p_cu.add_argument("--decontam-ngram", type=int, default=13)
 
     p_c = sub.add_parser("compact", help="sort-merge combine appended chunks")
     _add_common(p_c)
@@ -132,10 +143,16 @@ def main(argv: list[str] | None = None) -> int:
         cfg = CurateConfig(min_quality=args.min_quality,
                            min_words=args.min_words,
                            max_top_bigram_frac=args.max_top_bigram,
-                           near=args.near, jaccard=args.jaccard)
+                           near=args.near, jaccard=args.jaccard,
+                           redact_pii=args.redact_pii,
+                           max_dup_frac=args.max_dup_frac,
+                           decontam_ngram=args.decontam_ngram)
+        bench = (spark.read.parquet(args.decontam_bench)
+                 if args.decontam_bench else None)
         _, stats = curate_corpus(
             spark, spark.read.parquet(args.docs), catalog, cfg,
-            id_col=args.id_col, text_col=args.text_col, out_path=args.out)
+            id_col=args.id_col, text_col=args.text_col, out_path=args.out,
+            bench=bench)
         print(json.dumps(stats))
         return 0
 

@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import dedup, textstats
+from . import decontam, dedup, pii, textstats
 
 # output column names the feature operators introduce — input columns with
 # these names are shielded behind a `_pt_` prefix during the feature stage
@@ -53,22 +53,45 @@ class CurateConfig:
     jaccard: float = 0.8            # minhash verify threshold
     simhash_max_hamming: int = 3
     max_bucket: int = dedup.DEFAULT_MAX_BUCKET
+    # optional stages (off by default; the oracle-gated curate_pipeline
+    # entry pins the default DAG):
+    redact_pii: bool = False        # stage 0: replace PII with placeholders
+    max_dup_frac: float | None = None  # drop docs above this duplicated-
+    dup_span_ngram: int = 10           # substring-span fraction (Lee et al.)
+    decontam_ngram: int = 13        # benchmark n-gram width (GPT-3 appx C)
 
 
 def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
                   cfg: CurateConfig = CurateConfig(),
                   id_col: str = "doc_id", text_col: str = "text",
-                  out_path: str | None = None) -> tuple[DataFrame, dict]:
+                  out_path: str | None = None,
+                  bench: DataFrame | None = None) -> tuple[DataFrame, dict]:
     """Run the curation DAG; returns (curated_docs, stats). Curated docs
     keep the input schema (id + text + any other columns); stats counts
     every drop reason and is appended to the catalog ``metrics`` table
     under phase='curate'. With ``out_path`` the curated corpus is also
     written as parquet before intermediate caches are released (without
-    it, re-consuming the returned frame recomputes the DAG)."""
+    it, re-consuming the returned frame recomputes the DAG).
+
+    Optional stages (each counted in stats, each an anti-join over a
+    loser frame bounded by the dropped volume, never the corpus):
+    ``cfg.redact_pii`` rewrites the text through pii.pii_redact BEFORE
+    features (narrow map — fuses into the same scan); ``bench`` drops
+    docs sharing any ``cfg.decontam_ngram``-gram with the benchmark set
+    (broadcast bench side); ``cfg.max_dup_frac`` drops docs whose
+    Lee-et-al duplicated-span fraction exceeds the threshold."""
     passthrough = [c for c in docs.columns if c not in (id_col, text_col)]
     shield = {c: f"_pt_{c}" for c in passthrough if c in _FEATURE_COLS}
     src = docs.withColumnsRenamed(shield) if shield else docs
     pt = [shield.get(c, c) for c in passthrough]
+
+    if cfg.redact_pii:
+        # narrow map replacing the text column in place; downstream
+        # stages (features, dedup, output) all see redacted text
+        src = (pii.pii_redact(src, id_col=id_col, text_col=text_col,
+                              keep=tuple(pt))
+               .withColumnsRenamed({"redacted": text_col,
+                                    "doc_id": id_col}))
 
     # --- stage 1: chained narrow-map features + filters (zero shuffle) ---
     feats = textstats.repetition_stats(
@@ -85,6 +108,29 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
     exact_kept = None
     try:
         kept = flagged.filter(F.col("_qual_ok")).drop("_qual_ok")
+
+        # --- stage 1b (optional): benchmark decontamination + dup-span
+        # filter. Loser frames are computed FROM kept (which reads the
+        # persisted flagged frame), so the anti-joins cost one small
+        # build side each, not a corpus re-scan.
+        n_contam = 0
+        if bench is not None:
+            contam = (decontam.contamination_stats(
+                          kept, bench, n=cfg.decontam_ngram,
+                          id_col="doc_id", text_col=text_col)
+                      .filter(F.col("contaminated") == 1)
+                      .select("doc_id"))
+            n_contam = contam.count()
+            kept = kept.join(contam, "doc_id", "left_anti")
+        n_dupspan = 0
+        if cfg.max_dup_frac is not None:
+            spans = (decontam.dup_span_stats(
+                         kept, n=cfg.dup_span_ngram,
+                         id_col="doc_id", text_col=text_col)
+                     .filter(F.col("dup_frac") > cfg.max_dup_frac)
+                     .select("doc_id"))
+            n_dupspan = spans.count()
+            kept = kept.join(spans, "doc_id", "left_anti")
 
         # --- stage 2: exact dedup (one agg + winner semi-join) ---
         hashed = kept.withColumn(
@@ -136,7 +182,9 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
         stats = {
             "rows_in": n_in,
             "dropped_quality": n_in - n_q,
-            "dropped_exact_dup": n_q - n_exact,
+            "dropped_contaminated": n_contam,
+            "dropped_dup_spans": n_dupspan,
+            "dropped_exact_dup": (n_q - n_contam - n_dupspan) - n_exact,
             "dropped_near_dup": n_exact - n_out,
             "rows_out": n_out,
         }
