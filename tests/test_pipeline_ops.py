@@ -561,3 +561,36 @@ def test_cap_buckets_window_impl_matches_join_and_cuts_exchanges(spark):
         assert plans["window"] < plans["join"]
     finally:
         sigs.unpersist()
+
+
+def test_sig_prefilter_preserves_verified_pairs_and_prunes(spark, docs):
+    """The estimate prefilter must (a) pass every pair the exact verify
+    accepts at the threshold, (b) actually prune estimate-implausible
+    candidates fed to the shingle join."""
+    sub = docs.filter("doc_id < 7")
+    sh = dedup.char_shingles(sub)
+    sig = dedup.minhash_signatures(sh).persist()
+    pairs = dedup.minhash_lsh_pairs(sig)
+    # union in implausible candidates LSH would never emit (unrelated docs)
+    fake = spark.createDataFrame([(0, 5), (0, 6), (3, 6), (4, 5)],
+                                 "doc_a long, doc_b long")
+    all_pairs = pairs.union(fake).distinct()
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in dedup.ngram_jaccard_pairs(
+                 sh, all_pairs, threshold=0.8).collect()}
+    with_pref = {(r["doc_a"], r["doc_b"])
+                 for r in dedup.ngram_jaccard_pairs(
+                     sh, all_pairs, threshold=0.8, sigs=sig).collect()}
+    assert with_pref == exact          # no verified pair lost
+    kept = dedup.sig_prefilter_pairs(
+        all_pairs, sig, dedup.prefilter_min_matches(0.8)).collect()
+    n_kept = len(kept)
+    assert n_kept < all_pairs.count()  # the fakes are pruned pre-verify
+    assert {(r["doc_a"], r["doc_b"]) for r in kept} >= exact
+    sig.unpersist()
+
+
+def test_prefilter_min_matches_bar():
+    assert dedup.prefilter_min_matches(0.8, 16) == 7
+    assert dedup.prefilter_min_matches(0.5, 16) == 4
+    assert dedup.prefilter_min_matches(0.01, 16) == 1

@@ -1177,6 +1177,11 @@ def _curate_sql() -> str:
     cfg_maxbg, cfg_jac, cfg_cap = 0.3, 0.8, dedup.DEFAULT_MAX_BUCKET
     n, bands = dedup.MINHASH_N, dedup.LSH_BANDS
     rpb = n // bands
+    # estimate-prefilter twin: same integer match-count bar as
+    # dedup.sig_prefilter_pairs (boundary-exact across engines)
+    min_matches = dedup.prefilter_min_matches(cfg_jac, n)
+    match_sum = " + ".join(
+        f"(sa.mh_{j} = sb.mh_{j})::INT" for j in range(n))
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, md5("
         + " || '|' || ".join(f"mh_{b * rpb + r}::VARCHAR" for r in range(rpb))
@@ -1241,10 +1246,15 @@ pairs AS (
   FROM bk a JOIN bk b
        ON a.band_id = b.band_id AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id),
+pref AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p JOIN sigs sa ON sa.doc_id = p.doc_a
+               JOIN sigs sb ON sb.doc_id = p.doc_b
+  WHERE ({match_sum}) >= {min_matches}),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
 common AS (
   SELECT p.doc_a, p.doc_b, count(*) AS c
-  FROM pairs p
+  FROM pref p
   JOIN shingles sa ON sa.doc_id = p.doc_a
   JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
   GROUP BY 1, 2),

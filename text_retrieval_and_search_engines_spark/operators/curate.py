@@ -106,6 +106,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
     flagged = feats.select("doc_id", text_col, *pt,
                            qual_ok.alias("_qual_ok")).persist()
     exact_kept = None
+    _cached: list[DataFrame] = []
     try:
         kept = flagged.filter(F.col("_qual_ok")).drop("_qual_ok")
 
@@ -142,13 +143,21 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
         # --- stage 3: near dedup on the exact-deduped survivors ---
         losers = None
         if cfg.near == "minhash":
-            shingles = dedup.char_shingles(exact_kept, text_col=text_col)
-            sigs = dedup.minhash_signatures(shingles)
+            # shingles feeds sigs + the verify's three consumers and sigs
+            # feeds banding + the estimate prefilter — persist both (what a
+            # web-scale pipeline materializes to scratch storage anyway;
+            # sigs is n_docs x 17 ints, shingles O(total chars) with
+            # MEMORY_AND_DISK spill) instead of recomputing the explode
+            # subtree per consumer.
+            shingles = dedup.char_shingles(
+                exact_kept, text_col=text_col).persist()
+            sigs = dedup.minhash_signatures(shingles).persist()
+            _cached.extend([shingles, sigs])
             pairs = dedup.minhash_lsh_pairs_with_metrics(
                 spark, catalog, sigs, phase="curate_minhash_lsh",
                 max_bucket=cfg.max_bucket)
             verified = dedup.ngram_jaccard_pairs(
-                shingles, pairs, threshold=cfg.jaccard)
+                shingles, pairs, threshold=cfg.jaccard, sigs=sigs)
             losers = verified.select(F.col("doc_b").alias("doc_id")).distinct()
         elif cfg.near == "simhash":
             fps = dedup.simhash(exact_kept, text_col=text_col)
@@ -198,3 +207,5 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
         flagged.unpersist()
         if exact_kept is not None:
             exact_kept.unpersist()
+        for df in _cached:
+            df.unpersist()

@@ -217,10 +217,60 @@ def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
     )
 
 
+def prefilter_min_matches(threshold: float,
+                          n_hashes: int = MINHASH_N) -> int:
+    """Pinned estimate-prefilter bar: a candidate pair must agree on at
+    least ceil(threshold/2 * n) of its n minhash components before the
+    exact verify touches it. For threshold 0.8 / n 16 that is 7 matches;
+    a TRUE >=0.8-Jaccard pair fails it with P(Binom(16,0.8) <= 6) ~ 3e-5.
+    Integer bar (match COUNT, not a float ratio) so the Spark plan and
+    the DuckDB twin can never disagree on a boundary."""
+    import math
+    return max(1, math.ceil((threshold / 2.0) * n_hashes))
+
+
+def sig_prefilter_pairs(pairs: DataFrame, sigs: DataFrame,
+                        min_matches: int,
+                        n_hashes: int = MINHASH_N) -> DataFrame:
+    """Keep only candidate pairs whose signatures agree on >= min_matches
+    components. Two hash joins on doc_id against the (n+1)-column sigs
+    table + n integer comparisons per pair — O(candidates) work, vs the
+    exact verify's O(candidates x shingles_per_doc) shingle join. On
+    template-heavy corpora LSH banding over-generates candidates by
+    1000x+ (sf0.1 documents: 1.37M candidates, 256 true pairs at 0.8);
+    this is the standard estimate-then-verify MinHash step that keeps
+    the verify stage proportional to the TRUE near-dup volume."""
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"mh_{j}").alias(f"_a{j}")
+                      for j in range(n_hashes)])
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"mh_{j}").alias(f"_b{j}")
+                      for j in range(n_hashes)])
+    matches = None
+    for j in range(n_hashes):
+        m = (F.col(f"_a{j}") == F.col(f"_b{j}")).cast("int")
+        matches = m if matches is None else matches + m
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
+            .filter(matches >= min_matches)
+            .select("doc_a", "doc_b"))
+
+
 def ngram_jaccard_pairs(shingles: DataFrame, pairs: DataFrame,
-                        threshold: float = 0.0) -> DataFrame:
+                        threshold: float = 0.0,
+                        sigs: DataFrame | None = None,
+                        min_matches: int | None = None) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs:
-    |A n B| / (|A| + |B| - |A n B|). Joins touch candidates only."""
+    |A n B| / (|A| + |B| - |A n B|). Joins touch candidates only.
+
+    With ``sigs`` (the minhash_signatures frame the LSH stage already
+    computed), candidates are first pruned by the estimated Jaccard
+    (>= ``min_matches`` agreeing components, default
+    prefilter_min_matches(threshold)) so the expensive shingle join only
+    sees pairs the signatures consider plausible."""
+    if sigs is not None and threshold > 0:
+        if min_matches is None:
+            min_matches = prefilter_min_matches(threshold)
+        pairs = sig_prefilter_pairs(pairs, sigs, min_matches)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
