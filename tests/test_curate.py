@@ -58,6 +58,12 @@ def test_curate_drops_every_reason_and_records_metrics(spark, planted,
     assert by[("curate", "dropped_near_dup")] == 1
     # the LSH bucket-cap drop report landed too (cap disabled -> zeros)
     assert by[("curate_minhash_lsh", "dropped_rows")] == 0
+    # ...and the estimate-prefilter report (candidates counted, bar +
+    # calibrated loss bound recorded — no silent truncation)
+    assert by[("curate_minhash_prefilter", "candidates_in")] >= \
+        by[("curate_minhash_prefilter", "candidates_pruned")]
+    assert by[("curate_minhash_prefilter", "min_matches")] == 8  # thr 0.5
+    assert 0 < by[("curate_minhash_prefilter", "true_pair_loss_ppm")] <= 2000
 
 
 def test_curate_near_none_and_simhash_modes(spark, planted, tmp_path):

@@ -583,14 +583,37 @@ def test_sig_prefilter_preserves_verified_pairs_and_prunes(spark, docs):
                      sh, all_pairs, threshold=0.8, sigs=sig).collect()}
     assert with_pref == exact          # no verified pair lost
     kept = dedup.sig_prefilter_pairs(
-        all_pairs, sig, dedup.prefilter_min_matches(0.8)).collect()
+        all_pairs, sig, dedup.prefilter_min_matches(0.8, 8)).collect()
     n_kept = len(kept)
     assert n_kept < all_pairs.count()  # the fakes are pruned pre-verify
     assert {(r["doc_a"], r["doc_b"]) for r in kept} >= exact
+    # the wide estimate signature prunes at least as hard, still losslessly
+    sig32 = dedup.minhash_signatures(sh, n_hashes=32)
+    kept32 = {(r["doc_a"], r["doc_b"])
+              for r in dedup.sig_prefilter_pairs(
+                  all_pairs, sig32,
+                  dedup.prefilter_min_matches(0.8, 32)).collect()}
+    assert len(kept32) <= n_kept and kept32 >= exact
     sig.unpersist()
 
 
-def test_prefilter_min_matches_bar():
-    assert dedup.prefilter_min_matches(0.8, 16) == 7
-    assert dedup.prefilter_min_matches(0.5, 16) == 4
-    assert dedup.prefilter_min_matches(0.01, 16) == 1
+def test_prefilter_bar_is_loss_calibrated():
+    """The bar is the largest k whose exact binomial true-pair loss stays
+    under max_loss, and the loss function reports that exact tail."""
+    import math
+
+    def cdf_below(k, n, p):
+        return sum(math.comb(n, j) * p ** j * (1 - p) ** (n - j)
+                   for j in range(k))
+
+    for thr, n in [(0.8, 32), (0.8, 8), (0.5, 16), (0.9, 32)]:
+        bar = dedup.prefilter_min_matches(thr, n)
+        loss = dedup.prefilter_true_pair_loss(thr, n, bar)
+        assert loss == pytest.approx(cdf_below(bar, n, thr))
+        assert loss <= 2e-3
+        if bar < n:  # one step tighter would exceed the bound
+            assert cdf_below(bar + 1, n, thr) > 2e-3
+    # the shipped defaults: 19-of-32 at threshold 0.8, above the
+    # rows-per-band collision floor so banded candidates CAN be pruned
+    assert dedup.prefilter_min_matches(0.8) == 19
+    assert dedup.prefilter_min_matches(0.8) > dedup.MINHASH_N // dedup.LSH_BANDS

@@ -106,10 +106,13 @@ def main(argv: list[str] | None = None) -> int:
                       help="drop docs whose duplicated-substring-span "
                            "fraction exceeds this (Lee et al. style)")
     p_cu.add_argument("--decontam-bench", default=None,
-                      help="parquet of benchmark/eval docs (needs the "
-                           "text column); docs sharing any n-gram with it "
-                           "are dropped")
+                      help="parquet of benchmark/eval docs; corpus docs "
+                           "sharing any n-gram with it are dropped")
+    p_cu.add_argument("--decontam-text-col", default="text",
+                      help="text column name in the --decontam-bench file")
     p_cu.add_argument("--decontam-ngram", type=int, default=13)
+    p_cu.add_argument("--dup-span-ngram", type=int, default=10,
+                      help="word-window width for --max-dup-frac")
 
     p_c = sub.add_parser("compact", help="sort-merge combine appended chunks")
     _add_common(p_c)
@@ -146,13 +149,14 @@ def main(argv: list[str] | None = None) -> int:
                            near=args.near, jaccard=args.jaccard,
                            redact_pii=args.redact_pii,
                            max_dup_frac=args.max_dup_frac,
+                           dup_span_ngram=args.dup_span_ngram,
                            decontam_ngram=args.decontam_ngram)
         bench = (spark.read.parquet(args.decontam_bench)
                  if args.decontam_bench else None)
         _, stats = curate_corpus(
             spark, spark.read.parquet(args.docs), catalog, cfg,
             id_col=args.id_col, text_col=args.text_col, out_path=args.out,
-            bench=bench)
+            bench=bench, bench_text_col=args.decontam_text_col)
         print(json.dumps(stats))
         return 0
 

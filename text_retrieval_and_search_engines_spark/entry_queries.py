@@ -1177,11 +1177,13 @@ def _curate_sql() -> str:
     cfg_maxbg, cfg_jac, cfg_cap = 0.3, 0.8, dedup.DEFAULT_MAX_BUCKET
     n, bands = dedup.MINHASH_N, dedup.LSH_BANDS
     rpb = n // bands
-    # estimate-prefilter twin: same integer match-count bar as
-    # dedup.sig_prefilter_pairs (boundary-exact across engines)
-    min_matches = dedup.prefilter_min_matches(cfg_jac, n)
+    # estimate-prefilter twin: same PREFILTER_N-wide signature and the
+    # same loss-calibrated integer match-count bar as the curate DAG
+    # (boundary-exact across engines)
+    n_est = dedup.PREFILTER_N
+    min_matches = dedup.prefilter_min_matches(cfg_jac, n_est)
     match_sum = " + ".join(
-        f"(sa.mh_{j} = sb.mh_{j})::INT" for j in range(n))
+        f"(sa.mh_{j} = sb.mh_{j})::INT" for j in range(n_est))
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, md5("
         + " || '|' || ".join(f"mh_{b * rpb + r}::VARCHAR" for r in range(rpb))
@@ -1237,6 +1239,7 @@ sh AS (SELECT doc_id, t,
        FROM norm2),
 shingles AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS shingle FROM sh),
 sigs AS ({_minhash_sql_exprs()}),
+est_sigs AS ({_minhash_sql_exprs(n_est)}),
 buckets AS ({band_selects}),
 capped AS (SELECT band_id, band_key FROM buckets
            GROUP BY 1, 2 HAVING count(*) <= {cfg_cap}),
@@ -1248,8 +1251,8 @@ pairs AS (
   WHERE a.doc_id < b.doc_id),
 pref AS (
   SELECT p.doc_a, p.doc_b
-  FROM pairs p JOIN sigs sa ON sa.doc_id = p.doc_a
-               JOIN sigs sb ON sb.doc_id = p.doc_b
+  FROM pairs p JOIN est_sigs sa ON sa.doc_id = p.doc_a
+               JOIN est_sigs sb ON sb.doc_id = p.doc_b
   WHERE ({match_sum}) >= {min_matches}),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
 common AS (

@@ -51,6 +51,9 @@ class CurateConfig:
     max_top_bigram_frac: float = 0.3  # Gopher-style repetition ceiling
     near: str = "minhash"           # "minhash" | "simhash" | "none"
     jaccard: float = 0.8            # minhash verify threshold
+    prefilter_max_loss: float = 2e-3  # estimate-prefilter loss bound (the
+    # probability a TRUE threshold-Jaccard pair skips exact verification;
+    # drives the match-count bar via dedup.prefilter_min_matches)
     simhash_max_hamming: int = 3
     max_bucket: int = dedup.DEFAULT_MAX_BUCKET
     # optional stages (off by default; the oracle-gated curate_pipeline
@@ -65,7 +68,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
                   cfg: CurateConfig = CurateConfig(),
                   id_col: str = "doc_id", text_col: str = "text",
                   out_path: str | None = None,
-                  bench: DataFrame | None = None) -> tuple[DataFrame, dict]:
+                  bench: DataFrame | None = None,
+                  bench_text_col: str = "text") -> tuple[DataFrame, dict]:
     """Run the curation DAG; returns (curated_docs, stats). Curated docs
     keep the input schema (id + text + any other columns); stats counts
     every drop reason and is appended to the catalog ``metrics`` table
@@ -118,9 +122,11 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
         if bench is not None:
             contam = (decontam.contamination_stats(
                           kept, bench, n=cfg.decontam_ngram,
-                          id_col="doc_id", text_col=text_col)
+                          id_col="doc_id", text_col=text_col,
+                          bench_text_col=bench_text_col)
                       .filter(F.col("contaminated") == 1)
-                      .select("doc_id"))
+                      .select("doc_id").persist())
+            _cached.append(contam)
             n_contam = contam.count()
             kept = kept.join(contam, "doc_id", "left_anti")
         n_dupspan = 0
@@ -129,7 +135,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
                          kept, n=cfg.dup_span_ngram,
                          id_col="doc_id", text_col=text_col)
                      .filter(F.col("dup_frac") > cfg.max_dup_frac)
-                     .select("doc_id"))
+                     .select("doc_id").persist())
+            _cached.append(spans)
             n_dupspan = spans.count()
             kept = kept.join(spans, "doc_id", "left_anti")
 
@@ -143,21 +150,50 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
         # --- stage 3: near dedup on the exact-deduped survivors ---
         losers = None
         if cfg.near == "minhash":
-            # shingles feeds sigs + the verify's three consumers and sigs
-            # feeds banding + the estimate prefilter — persist both (what a
-            # web-scale pipeline materializes to scratch storage anyway;
-            # sigs is n_docs x 17 ints, shingles O(total chars) with
-            # MEMORY_AND_DISK spill) instead of recomputing the explode
-            # subtree per consumer.
+            # shingles feeds both signature aggregates + the verify's
+            # three consumers — persist the signature frames (n_docs x 9
+            # and x 33 ints — what a web-scale pipeline materializes to
+            # scratch anyway) and shingles (O(total chars), spills to
+            # disk) instead of recomputing the explode subtree per
+            # consumer.
             shingles = dedup.char_shingles(
                 exact_kept, text_col=text_col).persist()
             sigs = dedup.minhash_signatures(shingles).persist()
-            _cached.extend([shingles, sigs])
+            # wider estimate signature for the verify prefilter: banding
+            # needs collision probability (8 comps), the estimate needs
+            # concentration (32) — one extra aggregate over the persisted
+            # shingles, repaid by the verify join seeing ~the true
+            # near-dup volume instead of LSH's false-candidate volume
+            est_sigs = dedup.minhash_signatures(
+                shingles, n_hashes=dedup.PREFILTER_N).persist()
+            _cached.extend([shingles, sigs, est_sigs])
             pairs = dedup.minhash_lsh_pairs_with_metrics(
                 spark, catalog, sigs, phase="curate_minhash_lsh",
-                max_bucket=cfg.max_bucket)
+                max_bucket=cfg.max_bucket).persist()
+            _cached.append(pairs)
+            bar = dedup.prefilter_min_matches(
+                cfg.jaccard, dedup.PREFILTER_N, cfg.prefilter_max_loss)
+            pref = dedup.sig_prefilter_pairs(pairs, est_sigs, bar).persist()
+            _cached.append(pref)
+            # no-silent-truncation: the pruned candidate volume and the
+            # calibrated loss bound land in the metrics table
+            n_cand, n_pref = pairs.count(), pref.count()
+            loss_ppm = int(round(dedup.prefilter_true_pair_loss(
+                cfg.jaccard, dedup.PREFILTER_N, bar) * 1e6))
+            catalog.write_table(
+                spark.createDataFrame(
+                    [("curate_minhash_prefilter", "candidates_in", n_cand),
+                     ("curate_minhash_prefilter", "candidates_pruned",
+                      n_cand - n_pref),
+                     ("curate_minhash_prefilter", "min_matches", bar),
+                     ("curate_minhash_prefilter", "n_components",
+                      dedup.PREFILTER_N),
+                     ("curate_minhash_prefilter", "true_pair_loss_ppm",
+                      loss_ppm)],
+                    "phase string, metric string, value long"),
+                "metrics", fingerprint="curate", mode="append")
             verified = dedup.ngram_jaccard_pairs(
-                shingles, pairs, threshold=cfg.jaccard, sigs=sigs)
+                shingles, pref, threshold=cfg.jaccard)
             losers = verified.select(F.col("doc_b").alias("doc_id")).distinct()
         elif cfg.near == "simhash":
             fps = dedup.simhash(exact_kept, text_col=text_col)

@@ -83,7 +83,8 @@ def benchmark_ngrams(bench: DataFrame, n: int,
 
 def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        bench_text_col: str | None = None) -> DataFrame:
     """Per-doc benchmark contamination: (doc_id, n_windows, n_hits,
     contaminated). A doc is contaminated iff ANY of its word n-grams
     appears in the benchmark set (the GPT-3 appendix-C rule, n=13 there;
@@ -93,8 +94,10 @@ def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
     -> explode -> INNER broadcast join against the benchmark hashes ->
     groupBy(doc_id) count over matched rows only -> left join counts back
     onto the per-doc frame (hits frame is bounded by contaminated volume,
-    not corpus size)."""
-    bgrams = F.broadcast(benchmark_ngrams(bench, n, text_col))
+    not corpus size). ``bench_text_col`` names the benchmark frame's text
+    column when it differs from the corpus one (defaults to text_col)."""
+    bgrams = F.broadcast(benchmark_ngrams(
+        bench, n, bench_text_col if bench_text_col is not None else text_col))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         word_ngram_array(F.col(text_col), n).alias("grams"))

@@ -217,29 +217,72 @@ def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
     )
 
 
-def prefilter_min_matches(threshold: float,
-                          n_hashes: int = MINHASH_N) -> int:
-    """Pinned estimate-prefilter bar: a candidate pair must agree on at
-    least ceil(threshold/2 * n) of its n minhash components before the
-    exact verify touches it. For threshold 0.8 / n 16 that is 7 matches;
-    a TRUE >=0.8-Jaccard pair fails it with P(Binom(16,0.8) <= 6) ~ 3e-5.
-    Integer bar (match COUNT, not a float ratio) so the Spark plan and
-    the DuckDB twin can never disagree on a boundary."""
+# Estimate-signature width for the verify prefilter. Wider than the
+# banding signature (MINHASH_N=8) on purpose: the estimate needs
+# CONCENTRATION, banding needs collision probability. At 32 components a
+# true 0.8-Jaccard pair passes the 19/32 bar with P ~ 1 - 2e-3, while
+# template-corpus false candidates concentrate well below it (sf0.1
+# documents: 1.37M LSH candidates -> 276 pass, 256 truly >= 0.8).
+PREFILTER_N = 32
+
+
+def _binom_cdf_below(k: int, n: int, p: float) -> float:
+    """P(Binomial(n, p) < k), exact via math.comb."""
     import math
-    return max(1, math.ceil((threshold / 2.0) * n_hashes))
+    return sum(math.comb(n, j) * p ** j * (1.0 - p) ** (n - j)
+               for j in range(k))
+
+
+def prefilter_true_pair_loss(threshold: float, n_hashes: int,
+                             min_matches: int) -> float:
+    """Worst-case probability that a TRUE pair at exactly `threshold`
+    Jaccard fails the `min_matches`-of-`n_hashes` estimate bar (pairs
+    above the threshold fail with strictly lower probability)."""
+    return _binom_cdf_below(min_matches, n_hashes, threshold)
+
+
+def prefilter_min_matches(threshold: float,
+                          n_hashes: int = PREFILTER_N,
+                          max_loss: float = 2e-3) -> int:
+    """Loss-calibrated estimate-prefilter bar: the LARGEST integer k such
+    that a true threshold-Jaccard pair fails the k-of-n bar with
+    probability <= max_loss (exact binomial, not a heuristic ratio).
+    Defaults: (0.8, 32) -> 19 (loss 1.95e-3); at the 8-wide banding
+    signature (0.8, 8) -> 3 (loss 1.23e-3). Integer match COUNT so the
+    Spark plan and the DuckDB twin can never disagree on a boundary.
+
+    Pruning-power floor: banded candidates share >= rows-per-band
+    (MINHASH_N/LSH_BANDS = 2) components by construction, so a bar <= 2
+    on the 8-wide signature prunes nothing — the wider PREFILTER_N
+    estimate exists exactly to buy a bar far above that floor."""
+    ks = [k for k in range(1, n_hashes + 1)
+          if _binom_cdf_below(k, n_hashes, threshold) <= max_loss]
+    return max(ks) if ks else 1
+
+
+def _sig_width(sigs: DataFrame) -> int:
+    """Number of mh_j components in a minhash_signatures frame."""
+    cols = set(sigs.columns)
+    n = 0
+    while f"mh_{n}" in cols:
+        n += 1
+    if n == 0:
+        raise ValueError("not a minhash signature frame (no mh_0 column)")
+    return n
 
 
 def sig_prefilter_pairs(pairs: DataFrame, sigs: DataFrame,
                         min_matches: int,
-                        n_hashes: int = MINHASH_N) -> DataFrame:
+                        n_hashes: int | None = None) -> DataFrame:
     """Keep only candidate pairs whose signatures agree on >= min_matches
-    components. Two hash joins on doc_id against the (n+1)-column sigs
-    table + n integer comparisons per pair — O(candidates) work, vs the
-    exact verify's O(candidates x shingles_per_doc) shingle join. On
-    template-heavy corpora LSH banding over-generates candidates by
-    1000x+ (sf0.1 documents: 1.37M candidates, 256 true pairs at 0.8);
-    this is the standard estimate-then-verify MinHash step that keeps
-    the verify stage proportional to the TRUE near-dup volume."""
+    components (width inferred from the sigs frame unless given). Two
+    hash joins on doc_id against the sigs table + n integer comparisons
+    per pair — O(candidates) work, vs the exact verify's
+    O(candidates x shingles_per_doc) shingle join. The standard MinHash
+    estimate-then-verify step: the verify stage stays proportional to the
+    plausible-near-dup volume, not LSH's false-candidate volume."""
+    if n_hashes is None:
+        n_hashes = _sig_width(sigs)
     a = sigs.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(f"mh_{j}").alias(f"_a{j}")
                       for j in range(n_hashes)])
@@ -262,14 +305,15 @@ def ngram_jaccard_pairs(shingles: DataFrame, pairs: DataFrame,
     """Exact shingle-Jaccard for candidate pairs:
     |A n B| / (|A| + |B| - |A n B|). Joins touch candidates only.
 
-    With ``sigs`` (the minhash_signatures frame the LSH stage already
-    computed), candidates are first pruned by the estimated Jaccard
-    (>= ``min_matches`` agreeing components, default
-    prefilter_min_matches(threshold)) so the expensive shingle join only
-    sees pairs the signatures consider plausible."""
+    With ``sigs`` (a minhash_signatures frame of any width — pass a
+    PREFILTER_N-wide one for sharp pruning), candidates are first pruned
+    by the estimated Jaccard (>= ``min_matches`` agreeing components,
+    default the loss-calibrated prefilter_min_matches(threshold, width))
+    so the expensive shingle join only sees pairs the signatures consider
+    plausible."""
     if sigs is not None and threshold > 0:
         if min_matches is None:
-            min_matches = prefilter_min_matches(threshold)
+            min_matches = prefilter_min_matches(threshold, _sig_width(sigs))
         pairs = sig_prefilter_pairs(pairs, sigs, min_matches)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -38,7 +38,7 @@ def pii_features(docs: DataFrame, id_col: str = "doc_id",
     """Per-doc PII match counts + a 0/1 ``has_pii`` flag.
 
     One ``regexp_count`` per category over the raw text — a narrow map
-    stage with no Exchange (pinned by tests/test_pii.py); at 100 TB this
+    stage with no Exchange (pinned by tests/test_pii_decontam.py); at 100 TB this
     fuses into the corpus scan. ``keep`` passes input columns through so
     the stage chains into curation DAGs without a doc_id re-join
     (same contract as textstats.quality_features)."""
