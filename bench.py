@@ -227,6 +227,25 @@ def bench_index_and_query(cpus: int, do_entry_ops: bool) -> dict:
     out["curate_docs_per_sec"] = round(n_cur_in / t_curate, 1)
     out["curate_rows_out"] = cstats["rows_out"]
 
+    # per-doc hygiene operators (extra fields, NOT in the headline sum):
+    # PII detection, benchmark n-gram decontamination (bench = every 25th
+    # doc), duplicated-substring-span fractions — each a full pass over
+    # the sf documents table, count() forces execution
+    from text_retrieval_and_search_engines_spark.operators import (
+        decontam as dc_ops, pii as pii_ops)
+    t0 = time.perf_counter()
+    pii_ops.pii_features(docs).agg(F.sum("has_pii")).collect()
+    out["pii_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dc_ops.contamination_stats(
+        docs.filter(F.col("doc_id") % 25 != 0),
+        docs.filter(F.col("doc_id") % 25 == 0), n=13
+    ).agg(F.sum("contaminated")).collect()
+    out["decontam_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dc_ops.dup_span_stats(docs, n=10).agg(F.sum("n_dup_windows")).collect()
+    out["dup_spans_sec"] = round(time.perf_counter() - t0, 3)
+
     spark.stop()
     return out
 
@@ -378,6 +397,9 @@ def main() -> None:
         "curate_sec": result.get("curate_sec"),
         "curate_docs_per_sec": result.get("curate_docs_per_sec"),
         "curate_rows_out": result.get("curate_rows_out"),
+        "pii_sec": result.get("pii_sec"),
+        "decontam_sec": result.get("decontam_sec"),
+        "dup_spans_sec": result.get("dup_spans_sec"),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":

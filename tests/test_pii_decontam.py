@@ -112,3 +112,26 @@ def test_short_doc_has_empty_window_set(spark):
            for r in decontam.dup_span_stats(docs, n=8).collect()}
     assert out[0]["n_windows"] == 0 and out[0]["dup_frac"] == 0.0
     assert out[1]["n_windows"] == 0
+
+
+def test_fast_and_md5_hash_impls_agree(spark):
+    """xxhash64 (production) and md5-h64 (oracle twin) keys must yield
+    identical operator OUTPUTS — they only relabel the join keys."""
+    boiler = "shared boilerplate tail appears on both of these pages now ok"
+    docs = spark.createDataFrame([
+        (0, "first page body text differs somewhat " + boiler),
+        (1, "second page body text other words here " + boiler),
+        (2, "totally unrelated and unique page content without repeats"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, boiler)], "doc_id long, text string")
+    for fn in (
+        lambda impl: decontam.dup_span_stats(docs, n=8, hash_impl=impl),
+        lambda impl: decontam.contamination_stats(docs, bench, n=5,
+                                                  hash_impl=impl),
+    ):
+        fast = sorted(map(tuple, fn("fast").collect()))
+        md5 = sorted(map(tuple, fn("md5").collect()))
+        assert fast == md5
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decontam.dup_span_stats(docs, hash_impl="bogus").collect()

@@ -1353,7 +1353,10 @@ def q_decontaminate(spark, sf_dir):
     d = _docs(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % 25 == 0)
     corpus = d.filter(F.col("doc_id") % 25 != 0)
-    return decontam.contamination_stats(corpus, bench, n=3)
+    # hash_impl="md5": the twin-able h64 keys DuckDB can recompute (the
+    # operator default is JVM xxhash64, which DuckDB lacks)
+    return decontam.contamination_stats(corpus, bench, n=3,
+                                        hash_impl="md5")
 
 
 DECONTAM_SQL = decontam.contamination_sql(
@@ -1362,7 +1365,8 @@ DECONTAM_SQL = decontam.contamination_sql(
 
 
 def q_dup_spans(spark, sf_dir):
-    return decontam.dup_span_stats(_docs(spark, sf_dir), n=8)
+    return decontam.dup_span_stats(_docs(spark, sf_dir), n=8,
+                                   hash_impl="md5")
 
 
 DUP_SPANS_SQL = decontam.dup_span_sql("documents", n=8)

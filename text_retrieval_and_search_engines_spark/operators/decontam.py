@@ -26,9 +26,11 @@ cleaning):
   hashes before the exchange (a 'the quick brown fox'-class boilerplate
   gram costs one row per task, not one per occurrence).
 
-Both join on the pinned h64 hash (operators/dedup.h64) rather than the
-gram string — 8-byte shuffle keys instead of arbitrary-length text — and
-the DuckDB twins join on the SAME h64_sql value, so the oracle exercises
+Both join on a 64-bit window hash rather than the gram string — 8-byte
+shuffle keys instead of arbitrary-length text. Production default is JVM
+xxhash64 (one codegen op per window); the oracle-gated entries pass
+hash_impl="md5" to use the pinned h64 (operators/dedup.h64) whose
+h64_sql twin lets DuckDB compute IDENTICAL keys, so the oracle exercises
 identical semantics, collisions included.
 """
 
@@ -40,6 +42,20 @@ from pyspark.sql import functions as F
 from .dedup import h64, h64_sql
 
 NGRAM_SEED = "ng:"
+
+
+def _gram_key(col: Column, hash_impl: str) -> Column:
+    """Window-hash key. ``"fast"`` (the production default) is JVM
+    xxhash64 — one codegen op per window; ``"md5"`` is the repo's
+    SQL-twinnable h64 (an md5 per window, ~10x slower at corpus scale)
+    used by the oracle-gated entries so DuckDB computes identical keys.
+    Both are consistent hashes of the same gram string; results differ
+    only on (astronomically unlikely) 64-bit collisions."""
+    if hash_impl == "fast":
+        return F.xxhash64(F.lit(NGRAM_SEED), col)
+    if hash_impl == "md5":
+        return h64(col, NGRAM_SEED)
+    raise ValueError(f"unknown hash_impl {hash_impl!r}")
 
 
 def word_ngram_array(text_col: Column, n: int) -> Column:
@@ -69,7 +85,8 @@ def ngram_sql(n: int, text_expr: str = "text") -> str:
 
 
 def benchmark_ngrams(bench: DataFrame, n: int,
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     hash_impl: str = "fast") -> DataFrame:
     """Distinct h64 hashes of every word n-gram in the benchmark set —
     the broadcast side of contamination_stats. Distinct keeps the
     broadcast minimal; at real benchmark sizes (10^3-10^5 items) this is
@@ -77,14 +94,15 @@ def benchmark_ngrams(bench: DataFrame, n: int,
     return (bench
             .select(F.explode(word_ngram_array(F.col(text_col), n))
                     .alias("gram"))
-            .select(h64(F.col("gram"), NGRAM_SEED).alias("gram_h"))
+            .select(_gram_key(F.col("gram"), hash_impl).alias("gram_h"))
             .distinct())
 
 
 def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
                         id_col: str = "doc_id",
                         text_col: str = "text",
-                        bench_text_col: str | None = None) -> DataFrame:
+                        bench_text_col: str | None = None,
+                        hash_impl: str = "fast") -> DataFrame:
     """Per-doc benchmark contamination: (doc_id, n_windows, n_hits,
     contaminated). A doc is contaminated iff ANY of its word n-grams
     appears in the benchmark set (the GPT-3 appendix-C rule, n=13 there;
@@ -97,22 +115,31 @@ def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
     not corpus size). ``bench_text_col`` names the benchmark frame's text
     column when it differs from the corpus one (defaults to text_col)."""
     bgrams = F.broadcast(benchmark_ngrams(
-        bench, n, bench_text_col if bench_text_col is not None else text_col))
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_ngram_array(F.col(text_col), n).alias("grams"))
-    per_doc = base.select(
-        "doc_id", F.size("grams").cast("long").alias("n_windows"))
-    hits = (base
-            .select("doc_id", F.explode("grams").alias("gram"))
-            .select("doc_id", h64(F.col("gram"), NGRAM_SEED).alias("gram_h"))
+        bench, n, bench_text_col if bench_text_col is not None else text_col,
+        hash_impl=hash_impl))
+    # ONE pass builds windows; n_windows comes from the same exploded
+    # frame (docs with zero windows restored by the ids left join, whose
+    # scan never touches the window-build expressions)
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    exploded = (docs
+                .select(F.col(id_col).alias("doc_id"),
+                        F.explode(word_ngram_array(F.col(text_col), n))
+                        .alias("gram"))
+                .select("doc_id",
+                        _gram_key(F.col("gram"), hash_impl).alias("gram_h")))
+    per_doc = exploded.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"))
+    hits = (exploded
             .join(bgrams, "gram_h")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_hits")))
-    return (per_doc
+    return (ids
+            .join(per_doc, "doc_id", "left")
             .join(hits, "doc_id", "left")
             .select(
-                "doc_id", "n_windows",
+                "doc_id",
+                F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
+                .alias("n_windows"),
                 F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
                 .alias("n_hits"))
             .withColumn("contaminated", (F.col("n_hits") > 0).cast("int")))
@@ -144,7 +171,8 @@ FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
 
 def dup_span_stats(docs: DataFrame, n: int = 10, min_count: int = 2,
                    id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   hash_impl: str = "fast") -> DataFrame:
     """Per-doc duplicated-substring-span fraction: (doc_id, n_windows,
     n_dup_windows, dup_frac). A window is duplicated iff its n-gram hash
     occurs >= min_count times corpus-wide (within-doc repeats included —
@@ -152,19 +180,25 @@ def dup_span_stats(docs: DataFrame, n: int = 10, min_count: int = 2,
     as two pages sharing it).
 
     Plan: one explode -> hash groupBy(gram_h) count (partial+final, skew
-    collapsed map-side) -> filter >= min_count -> shuffle hash join back
-    on gram_h -> groupBy(doc_id). Two exchanges over O(tokens) 8-byte
-    keys; the same volume the postings build moves, and it holds at 3.1B
+    collapsed map-side) -> filter >= min_count -> hash join back on
+    gram_h -> groupBy(doc_id). Per-doc window totals come from the SAME
+    exploded frame (zero-window docs restored by an ids left join whose
+    scan never builds windows), so the window-construction subtree runs
+    once per consumer of `exploded` only — at 100 TB, persist or
+    materialize `exploded` to scratch to make that one pass total; its
+    lineage is a narrow map either way. Exchanges move O(tokens) 8-byte
+    keys — the same volume the postings build moves, which holds at 3.1B
     postings (BENCH.md 20M-doc run)."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_ngram_array(F.col(text_col), n).alias("grams"))
-    per_doc = base.select(
-        "doc_id", F.size("grams").cast("long").alias("n_windows"))
-    exploded = (base
-                .select("doc_id", F.explode("grams").alias("gram"))
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    exploded = (docs
+                .select(F.col(id_col).alias("doc_id"),
+                        F.explode(word_ngram_array(F.col(text_col), n))
+                        .alias("gram"))
                 .select("doc_id",
-                        h64(F.col("gram"), NGRAM_SEED).alias("gram_h")))
+                        _gram_key(F.col("gram"), hash_impl)
+                        .alias("gram_h")))
+    per_doc = exploded.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"))
     dup_grams = (exploded.groupBy("gram_h")
                  .agg(F.count("*").alias("occ"))
                  .filter(F.col("occ") >= min_count)
@@ -172,10 +206,13 @@ def dup_span_stats(docs: DataFrame, n: int = 10, min_count: int = 2,
     dup_counts = (exploded.join(dup_grams, "gram_h")
                   .groupBy("doc_id")
                   .agg(F.count("*").alias("n_dup_windows")))
-    return (per_doc
+    return (ids
+            .join(per_doc, "doc_id", "left")
             .join(dup_counts, "doc_id", "left")
             .select(
-                "doc_id", "n_windows",
+                "doc_id",
+                F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
+                .alias("n_windows"),
                 F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
                 .alias("n_dup_windows"))
             .withColumn(
