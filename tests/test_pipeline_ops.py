@@ -617,3 +617,22 @@ def test_prefilter_bar_is_loss_calibrated():
     # rows-per-band collision floor so banded candidates CAN be pruned
     assert dedup.prefilter_min_matches(0.8) == 19
     assert dedup.prefilter_min_matches(0.8) > dedup.MINHASH_N // dedup.LSH_BANDS
+    # when NO bar meets the bound (low threshold, narrow signature) the
+    # answer is 0 = prune nothing, never a loss-violating fallback
+    assert dedup.prefilter_min_matches(0.01, 8) == 0
+    assert dedup.prefilter_min_matches(0.3, 8) == 0
+
+
+def test_zero_bar_prefilter_is_a_noop(spark, docs):
+    sub = docs.filter("doc_id < 7")
+    sh = dedup.char_shingles(sub)
+    sig = dedup.minhash_signatures(sh)
+    pairs = dedup.minhash_lsh_pairs(sig)
+    kept = dedup.sig_prefilter_pairs(pairs, sig, 0)
+    assert kept.count() == pairs.count()
+    # threshold too low for the width -> ngram_jaccard_pairs prunes
+    # nothing rather than silently dropping true pairs
+    nopref = dedup.ngram_jaccard_pairs(sh, pairs, threshold=0.3).collect()
+    withsig = dedup.ngram_jaccard_pairs(sh, pairs, threshold=0.3,
+                                        sigs=sig).collect()
+    assert sorted(map(tuple, nopref)) == sorted(map(tuple, withsig))

@@ -158,15 +158,19 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
             # consumer.
             shingles = dedup.char_shingles(
                 exact_kept, text_col=text_col).persist()
-            sigs = dedup.minhash_signatures(shingles).persist()
-            # wider estimate signature for the verify prefilter: banding
-            # needs collision probability (8 comps), the estimate needs
-            # concentration (32) — one extra aggregate over the persisted
-            # shingles, repaid by the verify join seeing ~the true
-            # near-dup volume instead of LSH's false-candidate volume
+            # ONE signature aggregate at the wider estimate width: the
+            # seed family mh{j}: is shared, so the banding signature is
+            # exactly the first MINHASH_N columns of est_sigs (banding
+            # needs collision probability, the estimate prefilter needs
+            # concentration). The wide frame repays itself when the
+            # verify join sees ~the true near-dup volume instead of
+            # LSH's false-candidate volume.
             est_sigs = dedup.minhash_signatures(
                 shingles, n_hashes=dedup.PREFILTER_N).persist()
-            _cached.extend([shingles, sigs, est_sigs])
+            sigs = est_sigs.select(
+                "doc_id",
+                *[f"mh_{j}" for j in range(dedup.MINHASH_N)])
+            _cached.extend([shingles, est_sigs])
             pairs = dedup.minhash_lsh_pairs_with_metrics(
                 spark, catalog, sigs, phase="curate_minhash_lsh",
                 max_bucket=cfg.max_bucket).persist()

@@ -9,9 +9,11 @@ cleaning):
   flag corpus documents that share any word n-gram with a benchmark/eval
   set, so evaluation text never leaks into training data. The benchmark
   side is SMALL by definition (thousands of eval items), so its distinct
-  n-gram hashes are broadcast; the corpus side stays a narrow map +
-  broadcast hash join — no corpus-sized shuffle. The only Exchange is the
-  per-doc aggregate over MATCHED windows, which is tiny by construction.
+  n-gram hashes are broadcast; the corpus side stays a narrow window map +
+  broadcast hash join — no corpus-sized shuffle of gram STRINGS. The
+  exchanges move (doc_id, count) aggregates: one over matched windows
+  (tiny by construction) and one per-doc window total (8-byte rows with
+  full map-side combine).
 
 * ``dup_span_stats`` — Lee et al. 2021 ("Deduplicating Training Data
   Makes Language Models Better") substring-level duplication, expressed
@@ -87,7 +89,8 @@ def ngram_sql(n: int, text_expr: str = "text") -> str:
 def benchmark_ngrams(bench: DataFrame, n: int,
                      text_col: str = "text",
                      hash_impl: str = "fast") -> DataFrame:
-    """Distinct h64 hashes of every word n-gram in the benchmark set —
+    """Distinct window-hash keys (xxhash64 by default, twin-able h64
+    with hash_impl="md5") of every word n-gram in the benchmark set —
     the broadcast side of contamination_stats. Distinct keeps the
     broadcast minimal; at real benchmark sizes (10^3-10^5 items) this is
     a few MB."""
@@ -108,12 +111,14 @@ def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
     appears in the benchmark set (the GPT-3 appendix-C rule, n=13 there;
     parameterized here because the right n tracks tokenizer granularity).
 
-    Plan: corpus docs -> narrow map producing (doc_id, n_windows, grams)
-    -> explode -> INNER broadcast join against the benchmark hashes ->
-    groupBy(doc_id) count over matched rows only -> left join counts back
-    onto the per-doc frame (hits frame is bounded by contaminated volume,
-    not corpus size). ``bench_text_col`` names the benchmark frame's text
-    column when it differs from the corpus one (defaults to text_col)."""
+    Plan: ONE window-build pass (narrow map -> explode -> hash); from
+    that exploded frame, an INNER broadcast join against the benchmark
+    hashes -> groupBy(doc_id) over matched rows only (bounded by
+    contaminated volume) AND a groupBy(doc_id) window total (partial
+    aggregation, 8-byte rows); zero-window docs are restored by a left
+    join from a plain ids scan that never builds windows.
+    ``bench_text_col`` names the benchmark frame's text column when it
+    differs from the corpus one (defaults to text_col)."""
     bgrams = F.broadcast(benchmark_ngrams(
         bench, n, bench_text_col if bench_text_col is not None else text_col,
         hash_impl=hash_impl))

@@ -254,10 +254,15 @@ def prefilter_min_matches(threshold: float,
     Pruning-power floor: banded candidates share >= rows-per-band
     (MINHASH_N/LSH_BANDS = 2) components by construction, so a bar <= 2
     on the 8-wide signature prunes nothing — the wider PREFILTER_N
-    estimate exists exactly to buy a bar far above that floor."""
+    estimate exists exactly to buy a bar far above that floor.
+
+    Returns 0 (prune NOTHING, loss exactly 0) when no bar meets
+    max_loss — e.g. low thresholds on narrow signatures, where
+    P(zero matches) alone exceeds the bound. The loss guarantee is never
+    silently violated."""
     ks = [k for k in range(1, n_hashes + 1)
           if _binom_cdf_below(k, n_hashes, threshold) <= max_loss]
-    return max(ks) if ks else 1
+    return max(ks) if ks else 0
 
 
 def _sig_width(sigs: DataFrame) -> int:
@@ -280,7 +285,10 @@ def sig_prefilter_pairs(pairs: DataFrame, sigs: DataFrame,
     per pair — O(candidates) work, vs the exact verify's
     O(candidates x shingles_per_doc) shingle join. The standard MinHash
     estimate-then-verify step: the verify stage stays proportional to the
-    plausible-near-dup volume, not LSH's false-candidate volume."""
+    plausible-near-dup volume, not LSH's false-candidate volume.
+    min_matches <= 0 is a no-op (every pair passes, loss 0)."""
+    if min_matches <= 0:
+        return pairs
     if n_hashes is None:
         n_hashes = _sig_width(sigs)
     a = sigs.select(F.col("doc_id").alias("doc_a"),
@@ -308,10 +316,10 @@ def ngram_jaccard_pairs(shingles: DataFrame, pairs: DataFrame,
     With ``sigs`` (a minhash_signatures frame of any width — pass a
     PREFILTER_N-wide one for sharp pruning), candidates are first pruned
     by the estimated Jaccard (>= ``min_matches`` agreeing components,
-    default the loss-calibrated prefilter_min_matches(threshold, width))
-    so the expensive shingle join only sees pairs the signatures consider
-    plausible."""
-    if sigs is not None and threshold > 0:
+    default the loss-calibrated prefilter_min_matches(threshold, width);
+    a bar of 0 — the calibrated answer when no bar meets the loss bound,
+    e.g. low thresholds on narrow signatures — prunes nothing)."""
+    if sigs is not None:
         if min_matches is None:
             min_matches = prefilter_min_matches(threshold, _sig_width(sigs))
         pairs = sig_prefilter_pairs(pairs, sigs, min_matches)
