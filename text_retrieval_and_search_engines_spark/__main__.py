@@ -13,6 +13,9 @@ Commands:
     curate  --catalog DIR --docs PATH --out PATH [--near minhash|simhash|none]
              (training-data curation: quality/repetition filters + dedup;
               drop counts land in the catalog metrics table)
+    ann     --catalog DIR --build --embeddings PATH   (materialize IVF state)
+    ann     --catalog DIR --queries PATH [--k 5 --n-probe 2]
+             (serve a query batch from the persisted state — no corpus scan)
 """
 
 from __future__ import annotations
@@ -114,6 +117,25 @@ def main(argv: list[str] | None = None) -> int:
     p_cu.add_argument("--dup-span-ngram", type=int, default=10,
                       help="word-window width for --max-dup-frac")
 
+    p_ann = sub.add_parser(
+        "ann", help="IVF ANN serving: --build materializes the quantizer + "
+                    "partitioned inverted lists in the catalog; --queries "
+                    "answers a batch against the persisted state (no corpus "
+                    "scan, no retraining)")
+    _add_common(p_ann)
+    p_ann.add_argument("--build", action="store_true")
+    p_ann.add_argument("--embeddings", default=None,
+                       help="parquet with (vec_id, embedding) — build only")
+    p_ann.add_argument("--queries", default=None,
+                       help="parquet with (qid, embedding) — query only")
+    p_ann.add_argument("--n-centroids", type=int, default=16)
+    p_ann.add_argument("--iters", type=int, default=3)
+    p_ann.add_argument("--seed", type=int, default=42)
+    p_ann.add_argument("--k", type=int, default=5)
+    p_ann.add_argument("--n-probe", type=int, default=2)
+    p_ann.add_argument("--sim-round", type=int, default=None)
+    p_ann.add_argument("--out", default=None, help="result parquet path")
+
     p_c = sub.add_parser("compact", help="sort-merge combine appended chunks")
     _add_common(p_c)
     p_c.add_argument("--range-size", type=int, default=1 << 17)
@@ -158,6 +180,30 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col, text_col=args.text_col, out_path=args.out,
             bench=bench, bench_text_col=args.decontam_text_col)
         print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "ann":
+        from .operators.similarity import ivf_build_serving, ivf_serve_topk
+        if args.build:
+            if not args.embeddings:
+                ap.error("ann --build requires --embeddings")
+            info = ivf_build_serving(
+                spark, catalog, spark.read.parquet(args.embeddings),
+                n_centroids=args.n_centroids, seed=args.seed,
+                iters=args.iters, sim_round=args.sim_round)
+            print(json.dumps(info))
+            return 0
+        if not args.queries:
+            ap.error("ann needs --build or --queries")
+        res = ivf_serve_topk(spark, catalog,
+                             spark.read.parquet(args.queries),
+                             k=args.k, n_probe=args.n_probe,
+                             sim_round=args.sim_round)
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            res.orderBy("qid", "rank").show(50, truncate=False)
         return 0
 
     if args.cmd in ("append", "compact"):

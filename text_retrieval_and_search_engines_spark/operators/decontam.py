@@ -2,7 +2,7 @@
 
 Two corpus hygiene operators every large-scale training-data pipeline
 runs before the index/training stage (the reference repo assumes a clean
-corpus — final-project/src/data_loading.py — this engine supplies the
+corpus — final-project/src/data_loader.py — this engine supplies the
 cleaning):
 
 * ``contamination_stats`` — GPT-3-appendix-style n-gram decontamination:
@@ -86,6 +86,30 @@ def ngram_sql(n: int, text_expr: str = "text") -> str:
         f"ELSE [] END")
 
 
+def _materialize(df: DataFrame, persist: bool, scratch_path: str | None,
+                 cache_registry: list | None) -> DataFrame:
+    """Run-once option for a frame with multiple consumers (VERDICT r4
+    item 1: the O(tokens) exploded window frame feeds 2-3 consumers whose
+    narrow lineage otherwise re-runs the split+slice+hash subtree per
+    consumer — at 100 TB that is 2-3 full corpus-scan-and-tokenize passes).
+
+    ``scratch_path`` writes the frame to parquet and reads it back (true
+    scratch materialization — survives executor loss, no memory pressure,
+    the web-scale default); ``persist`` caches it (MEMORY_AND_DISK),
+    appending to ``cache_registry`` when given so the caller can unpersist
+    after its last action (the curate DAG's convention). Default: neither —
+    the recompute-per-consumer shape, fine when the corpus is small or the
+    caller consumes the result once."""
+    if scratch_path is not None:
+        df.write.mode("overwrite").parquet(scratch_path)
+        return df.sparkSession.read.parquet(scratch_path)
+    if persist:
+        df = df.persist()
+        if cache_registry is not None:
+            cache_registry.append(df)
+    return df
+
+
 def benchmark_ngrams(bench: DataFrame, n: int,
                      text_col: str = "text",
                      hash_impl: str = "fast") -> DataFrame:
@@ -105,7 +129,10 @@ def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
                         id_col: str = "doc_id",
                         text_col: str = "text",
                         bench_text_col: str | None = None,
-                        hash_impl: str = "fast") -> DataFrame:
+                        hash_impl: str = "fast",
+                        persist: bool = False,
+                        scratch_path: str | None = None,
+                        cache_registry: list | None = None) -> DataFrame:
     """Per-doc benchmark contamination: (doc_id, n_windows, n_hits,
     contaminated). A doc is contaminated iff ANY of its word n-grams
     appears in the benchmark set (the GPT-3 appendix-C rule, n=13 there;
@@ -118,7 +145,11 @@ def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
     aggregation, 8-byte rows); zero-window docs are restored by a left
     join from a plain ids scan that never builds windows.
     ``bench_text_col`` names the benchmark frame's text column when it
-    differs from the corpus one (defaults to text_col)."""
+    differs from the corpus one (defaults to text_col).
+
+    ``persist=True`` / ``scratch_path=`` make the window-build pass run
+    ONCE instead of once per consumer (see _materialize) — at 100 TB pass
+    one of them; the default recomputes the narrow subtree per consumer."""
     bgrams = F.broadcast(benchmark_ngrams(
         bench, n, bench_text_col if bench_text_col is not None else text_col,
         hash_impl=hash_impl))
@@ -132,6 +163,7 @@ def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
                         .alias("gram"))
                 .select("doc_id",
                         _gram_key(F.col("gram"), hash_impl).alias("gram_h")))
+    exploded = _materialize(exploded, persist, scratch_path, cache_registry)
     per_doc = exploded.groupBy("doc_id").agg(
         F.count("*").alias("n_windows"))
     hits = (exploded
@@ -177,7 +209,10 @@ FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
 def dup_span_stats(docs: DataFrame, n: int = 10, min_count: int = 2,
                    id_col: str = "doc_id",
                    text_col: str = "text",
-                   hash_impl: str = "fast") -> DataFrame:
+                   hash_impl: str = "fast",
+                   persist: bool = False,
+                   scratch_path: str | None = None,
+                   cache_registry: list | None = None) -> DataFrame:
     """Per-doc duplicated-substring-span fraction: (doc_id, n_windows,
     n_dup_windows, dup_frac). A window is duplicated iff its n-gram hash
     occurs >= min_count times corpus-wide (within-doc repeats included —
@@ -188,12 +223,12 @@ def dup_span_stats(docs: DataFrame, n: int = 10, min_count: int = 2,
     collapsed map-side) -> filter >= min_count -> hash join back on
     gram_h -> groupBy(doc_id). Per-doc window totals come from the SAME
     exploded frame (zero-window docs restored by an ids left join whose
-    scan never builds windows), so the window-construction subtree runs
-    once per consumer of `exploded` only — at 100 TB, persist or
-    materialize `exploded` to scratch to make that one pass total; its
-    lineage is a narrow map either way. Exchanges move O(tokens) 8-byte
-    keys — the same volume the postings build moves, which holds at 3.1B
-    postings (BENCH.md 20M-doc run)."""
+    scan never builds windows). The exploded frame has THREE consumers
+    (per-doc totals, dup-gram counts, hit counts) — pass ``persist=True``
+    or ``scratch_path=`` to run the split+slice+hash subtree ONCE instead
+    of per consumer (see _materialize); at 100 TB always do. Exchanges
+    move O(tokens) 8-byte keys — the same volume the postings build
+    moves, which holds at 3.1B postings (BENCH.md 20M-doc run)."""
     ids = docs.select(F.col(id_col).alias("doc_id"))
     exploded = (docs
                 .select(F.col(id_col).alias("doc_id"),
@@ -202,6 +237,7 @@ def dup_span_stats(docs: DataFrame, n: int = 10, min_count: int = 2,
                 .select("doc_id",
                         _gram_key(F.col("gram"), hash_impl)
                         .alias("gram_h")))
+    exploded = _materialize(exploded, persist, scratch_path, cache_registry)
     per_doc = exploded.groupBy("doc_id").agg(
         F.count("*").alias("n_windows"))
     dup_grams = (exploded.groupBy("gram_h")

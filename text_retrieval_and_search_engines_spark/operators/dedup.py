@@ -113,21 +113,46 @@ _CAP_IMPL = _os.environ.get("SPARK_GRAFT_CAP_IMPL", "window")
 
 
 def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int,
-                 drop_report: dict | None = None) -> DataFrame:
+                 drop_report: dict | None = None,
+                 cache_registry: list | None = None) -> DataFrame:
     """Drop band buckets larger than `max_bucket` members: a degenerate
     bucket (boilerplate / empty docs) makes the self-join quadratic WITHIN
     the bucket at web scale. Oversized buckets are near-useless for near-dup
     anyway (everything matches everything); exact-dedup catches the
     byte-identical core. Off when max_bucket <= 0.
 
-    When `drop_report` is given, the dropped volume is COUNTED and surfaced
-    (one extra aggregate job over the bucket counts): silent truncation
-    reads as full coverage when it is not."""
+    When `drop_report` is given, the dropped volume is COUNTED and surfaced:
+    silent truncation reads as full coverage when it is not. In the window
+    impl the report is derived from the SAME count-over-window column the
+    cap filters on (VERDICT r4 item 6: the old shape ran a separate
+    groupBy-sizes aggregate, recomputing the bucket subtree): the sized
+    frame is persisted, the report aggregate materializes it, and the
+    downstream self-join reads the cache — the bucket subtree and the
+    window exchange run ONCE total. The cache is released via
+    `cache_registry` when the caller provides one (the curate DAG does);
+    direct callers fall back to Spark's LRU eviction."""
     if max_bucket <= 0:
         if drop_report is not None:
             drop_report.update(dropped_buckets=0, dropped_rows=0,
                                max_bucket=0)
         return buckets
+    if _CAP_IMPL == "window":
+        from pyspark.sql import Window
+        w = Window.partitionBy(*keys)
+        sized = buckets.withColumn("_bn", F.count("*").over(w))
+        if drop_report is not None:
+            sized = sized.persist()
+            if cache_registry is not None:
+                cache_registry.append(sized)
+            over = (sized.filter(F.col("_bn") > max_bucket)
+                    .agg(F.count_distinct(*[F.col(k) for k in keys])
+                         .alias("b"),
+                         F.count("*").alias("r"))
+                    .collect()[0])
+            drop_report.update(dropped_buckets=int(over["b"]),
+                               dropped_rows=int(over["r"]),
+                               max_bucket=max_bucket)
+        return sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
     if drop_report is not None:
         over = (buckets.groupBy(*keys).count()
                 .filter(F.col("count") > max_bucket)
@@ -137,11 +162,6 @@ def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int,
         drop_report.update(dropped_buckets=int(over["b"]),
                            dropped_rows=int(over["r"]),
                            max_bucket=max_bucket)
-    if _CAP_IMPL == "window":
-        from pyspark.sql import Window
-        w = Window.partitionBy(*keys)
-        return (buckets.withColumn("_bn", F.count("*").over(w))
-                .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     sizes = buckets.groupBy(*keys).count()
     ok = sizes.filter(F.col("count") <= max_bucket).drop("count")
     return buckets.join(ok, keys, "left_semi")
@@ -191,12 +211,14 @@ def simhash_neardup_with_metrics(spark: SparkSession, catalog,
 def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
                       bands: int = LSH_BANDS,
                       max_bucket: int = DEFAULT_MAX_BUCKET,
-                      drop_report: dict | None = None) -> DataFrame:
+                      drop_report: dict | None = None,
+                      cache_registry: list | None = None) -> DataFrame:
     """Banded LSH: docs sharing any band bucket -> candidate pairs (a < b).
     `max_bucket` caps bucket cardinality (see _cap_buckets; defaults to the
     scale profile's DEFAULT_MAX_BUCKET so the within-bucket quadratic join
     is bounded WITHOUT opt-in); pass `drop_report={}` to receive
-    dropped_buckets/dropped_rows counts."""
+    dropped_buckets/dropped_rows counts (and `cache_registry=[...]` to take
+    ownership of the cap's shared sized-bucket cache — see _cap_buckets)."""
     rows_per_band = n_hashes // bands
     per_band = []
     for b in range(bands):
@@ -207,7 +229,7 @@ def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
             "doc_id", F.lit(b).alias("band_id"), key))
     buckets = reduce(lambda a, c: a.unionByName(c), per_band)
     buckets = _cap_buckets(buckets, ["band_id", "band_key"], max_bucket,
-                           drop_report)
+                           drop_report, cache_registry)
     left = buckets.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     right = buckets.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     return (
@@ -286,7 +308,13 @@ def sig_prefilter_pairs(pairs: DataFrame, sigs: DataFrame,
     O(candidates x shingles_per_doc) shingle join. The standard MinHash
     estimate-then-verify step: the verify stage stays proportional to the
     plausible-near-dup volume, not LSH's false-candidate volume.
-    min_matches <= 0 is a no-op (every pair passes, loss 0)."""
+    min_matches <= 0 is a no-op (every pair passes, loss 0).
+
+    Pairs referencing a doc_id ABSENT from `sigs` pass through unpruned
+    (left joins; ADVICE r4: in-repo callers derive pairs from the same
+    sigs frame, but the public ngram_jaccard_pairs(sigs=...) API accepts
+    externally-built pairs, and an estimate prefilter must never turn a
+    missing estimate into a silent drop — the exact verify decides)."""
     if min_matches <= 0:
         return pairs
     if n_hashes is None:
@@ -301,8 +329,10 @@ def sig_prefilter_pairs(pairs: DataFrame, sigs: DataFrame,
     for j in range(n_hashes):
         m = (F.col(f"_a{j}") == F.col(f"_b{j}")).cast("int")
         matches = m if matches is None else matches + m
-    return (pairs.join(a, "doc_a").join(b, "doc_b")
-            .filter(matches >= min_matches)
+    missing_sig = F.col("_a0").isNull() | F.col("_b0").isNull()
+    return (pairs.join(a, "doc_a", "left").join(b, "doc_b", "left")
+            .filter(F.when(missing_sig, F.lit(True))
+                    .otherwise(matches >= min_matches))
             .select("doc_a", "doc_b"))
 
 
@@ -369,11 +399,13 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_neardup(fps: DataFrame, max_hamming: int = 3, bits: int = 32,
                     bands: int = 4, max_bucket: int = DEFAULT_MAX_BUCKET,
-                    drop_report: dict | None = None) -> DataFrame:
+                    drop_report: dict | None = None,
+                    cache_registry: list | None = None) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming, found via
     band buckets (a pair within radius r < bands shares >= 1 exact band).
     `max_bucket` caps bucket cardinality (scale-profile default on; see
-    _cap_buckets); `drop_report={}` receives the dropped volume."""
+    _cap_buckets); `drop_report={}` receives the dropped volume and
+    `cache_registry=[...]` takes ownership of the cap's shared cache."""
     width = bits // bands
     mask = (1 << width) - 1
     per_band = [
@@ -385,7 +417,7 @@ def simhash_neardup(fps: DataFrame, max_hamming: int = 3, bits: int = 32,
     ]
     buckets = reduce(lambda a, c: a.unionByName(c), per_band)
     buckets = _cap_buckets(buckets, ["band_id", "band_val"], max_bucket,
-                           drop_report)
+                           drop_report, cache_registry)
     left = buckets.withColumnsRenamed({"doc_id": "doc_a", "band_val": "val"})
     right = buckets.withColumnsRenamed({"doc_id": "doc_b", "band_val": "val"})
     cands = (left.join(right, ["band_id", "val"])

@@ -3,7 +3,7 @@
 Training-data pipelines over Common-Crawl-style corpora routinely strip
 personally identifiable information before anything else touches the text
 (the reference repo's corpus prep stops at HTML->text extraction,
-final-project/src/data_loading.py; this engine adds the curation stage a
+final-project/src/data_loader.py; this engine adds the curation stage a
 100 TB deployment needs). Everything here is pure JVM column expressions
 (``regexp_count`` / ``regexp_replace`` inside whole-stage codegen): per-doc,
 zero-shuffle, pipelines with the parquet scan exactly like the
@@ -13,7 +13,23 @@ Pattern notes: every regex is written in the Java-regex ∩ RE2 common
 subset (no backrefs, no lookaround) so the Spark plan and the DuckDB twin
 compile the same automaton. Categories may overlap on pathological text
 (each count is independent); redaction applies them in a pinned order
-(email, ssn, phone, ipv4) so the output text is deterministic.
+(email, credit_card, ssn, phone, ipv4) so the output text is
+deterministic.
+
+Known miss / false-positive classes (ADVICE r4 — these are heuristic,
+SQL-twinnable patterns by design, not an NER system):
+* phone MISSES: bare space-separated digit triples ("555 123 4567"
+  without parens or a +CC prefix — accepting them false-positives on
+  number runs in prose like "100 200 3000"), compact international
+  ("+15551234567"), non-NANP groupings ("+44 20 7946 0958").
+* ssn MISSES: bare 9-digit runs ("123456789" — too collision-prone with
+  order ids/zip+4/phone fragments to redact safely).
+* ipv4 FALSE-POSITIVES: dotted version strings whose fields are valid
+  octets ("release 1.2.3.4" redacts); octet values are bounds-checked
+  (0-255), so "999.999.999.999" no longer matches.
+* credit_card: 16-digit shapes in 4-4-4-4 or contiguous form; no Luhn
+  check (not expressible in the regex subset), so random 16-digit runs
+  false-positive.
 """
 
 from __future__ import annotations
@@ -22,13 +38,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Pinned (name, pattern, placeholder) triples — ORDER IS THE REDACTION ORDER.
-# ssn before phone: both are digit-dash shapes and redaction must not let a
-# later pattern see a placeholder's surroundings differently across engines.
+# credit_card before ssn/phone (longest digit shape first); ssn before
+# phone: all are digit-dash shapes and redaction must not let a later
+# pattern see a placeholder's surroundings differently across engines.
+_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("credit_card", r"\b\d{4}(?:[- ]?\d{4}){3}\b", "<CC>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # three shapes: (555) 123-4567 / (555)123 4567 [optional +CC],
+    # +1 555 123 4567 (spaces need the +CC or parens anchor — see module
+    # docstring), and the classic dash/dot 555-123-4567 / 800.555.1212
+    ("phone", r"(?:\+\d{1,2}[-. ])?\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}\b"
+              r"|(?:\+\d{1,2}[-. ])\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+              r"|\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", rf"\b(?:{_OCTET}\.){{3}}{_OCTET}\b", "<IP>"),
 )
 
 
