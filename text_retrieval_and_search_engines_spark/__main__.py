@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="drain --pages as a Structured Streaming source")
     p_a.add_argument("--checkpoint", default=None)
     p_a.add_argument("--range-size", type=int, default=1 << 17)
+    p_a.add_argument("--curate-neardups", action="store_true",
+                     help="near-dedup each batch against the catalog's "
+                          "dedup_signatures state before indexing "
+                          "(requires curate --write-state first)")
+    p_a.add_argument("--neardup-jaccard", type=float, default=0.8)
 
     p_cu = sub.add_parser(
         "curate", help="training-data curation: quality/repetition filters "
@@ -116,6 +121,10 @@ def main(argv: list[str] | None = None) -> int:
     p_cu.add_argument("--decontam-ngram", type=int, default=13)
     p_cu.add_argument("--dup-span-ngram", type=int, default=10,
                       help="word-window width for --max-dup-frac")
+    p_cu.add_argument("--write-state", action="store_true",
+                      help="materialize the curated corpus's minhash "
+                           "signatures (dedup_signatures table) so later "
+                           "appends can near-dedup against the base")
 
     p_ann = sub.add_parser(
         "ann", help="IVF ANN serving: --build materializes the quantizer + "
@@ -178,7 +187,8 @@ def main(argv: list[str] | None = None) -> int:
         _, stats = curate_corpus(
             spark, spark.read.parquet(args.docs), catalog, cfg,
             id_col=args.id_col, text_col=args.text_col, out_path=args.out,
-            bench=bench, bench_text_col=args.decontam_text_col)
+            bench=bench, bench_text_col=args.decontam_text_col,
+            write_state=args.write_state)
         print(json.dumps(stats))
         return 0
 
@@ -245,9 +255,18 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.pages,
                 "url string, warc_ts timestamp, html binary, text string, "
                 "lang string", catalog, cfg,
-                checkpoint_dir=args.checkpoint or (args.catalog + "/_ckpt"))
+                checkpoint_dir=args.checkpoint or (args.catalog + "/_ckpt"),
+                curate_neardups=args.curate_neardups)
             q.awaitTermination()
             print("stream drained")
+        elif args.curate_neardups:
+            import uuid
+            from .operators.curate import append_pages_batch_curated
+            info = append_pages_batch_curated(
+                spark, spark.read.parquet(args.pages), catalog, cfg,
+                epoch_tag=f"cli{uuid.uuid4().hex[:10]}",
+                jaccard=args.neardup_jaccard)
+            print(json.dumps(info))
         else:
             info = append_pages_batch(
                 spark, spark.read.parquet(args.pages), catalog, cfg)

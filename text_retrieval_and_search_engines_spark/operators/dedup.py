@@ -208,6 +208,21 @@ def simhash_neardup_with_metrics(spark: SparkSession, catalog,
     return pairs
 
 
+def _band_buckets(signatures: DataFrame, n_hashes: int,
+                  bands: int) -> DataFrame:
+    """(doc_id, band_id, band_key) rows: one md5 band key per signature
+    band — the shared bucket-building step of banded LSH."""
+    rows_per_band = n_hashes // bands
+    per_band = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws("|", *cols)).alias("band_key")
+        per_band.append(signatures.select(
+            "doc_id", F.lit(b).alias("band_id"), key))
+    return reduce(lambda a, c: a.unionByName(c), per_band)
+
+
 def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
                       bands: int = LSH_BANDS,
                       max_bucket: int = DEFAULT_MAX_BUCKET,
@@ -219,15 +234,7 @@ def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
     is bounded WITHOUT opt-in); pass `drop_report={}` to receive
     dropped_buckets/dropped_rows counts (and `cache_registry=[...]` to take
     ownership of the cap's shared sized-bucket cache — see _cap_buckets)."""
-    rows_per_band = n_hashes // bands
-    per_band = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)]
-        key = F.md5(F.concat_ws("|", *cols)).alias("band_key")
-        per_band.append(signatures.select(
-            "doc_id", F.lit(b).alias("band_id"), key))
-    buckets = reduce(lambda a, c: a.unionByName(c), per_band)
+    buckets = _band_buckets(signatures, n_hashes, bands)
     buckets = _cap_buckets(buckets, ["band_id", "band_key"], max_bucket,
                            drop_report, cache_registry)
     left = buckets.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
@@ -237,6 +244,57 @@ def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b").distinct()
     )
+
+
+def minhash_neardup_vs_base(new_sigs: DataFrame, base_sigs: DataFrame,
+                            n_hashes: int = MINHASH_N,
+                            bands: int = LSH_BANDS,
+                            threshold: float = 0.8,
+                            max_loss: float = 2e-3,
+                            min_matches: int | None = None,
+                            max_bucket: int = DEFAULT_MAX_BUCKET,
+                            drop_report: dict | None = None) -> DataFrame:
+    """Estimated near-dup pairs BETWEEN two signature frames (doc_a from
+    `new_sigs`, doc_b from `base_sigs`) — the incremental-curation shape:
+    an appended micro-batch's signatures are O(batch) to compute and LSH-
+    join against the persisted base-corpus signature table, so the work
+    per append is O(batch x collision volume), never a base-corpus scan.
+
+    Candidates come from banded LSH over the first `n_hashes` components
+    (both frames share the mh{j}: seed family, so band keys are
+    comparable); each candidate is then VERIFIED BY THE ESTIMATE: >=
+    `min_matches` agreeing components over the full signature width
+    (default the loss-calibrated prefilter_min_matches(threshold, width,
+    max_loss) — a true threshold-Jaccard pair is missed with probability
+    <= max_loss). This is estimate-only by design: the base corpus's
+    shingles are not retained at scale, so exact Jaccard re-verification
+    belongs to the next full curate_corpus run. `max_bucket` caps the
+    BASE side's degenerate buckets (the batch side is small)."""
+    width = min(_sig_width(new_sigs), _sig_width(base_sigs))
+    if min_matches is None:
+        min_matches = prefilter_min_matches(threshold, width, max_loss)
+    nb = (_band_buckets(new_sigs, n_hashes, bands)
+          .withColumnRenamed("doc_id", "doc_a"))
+    bb = _cap_buckets(_band_buckets(base_sigs, n_hashes, bands),
+                      ["band_id", "band_key"], max_bucket, drop_report)
+    bb = bb.withColumnRenamed("doc_id", "doc_b")
+    pairs = (nb.join(bb, ["band_id", "band_key"])
+             .filter(F.col("doc_a") != F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    a = new_sigs.select(F.col("doc_id").alias("doc_a"),
+                        *[F.col(f"mh_{j}").alias(f"_a{j}")
+                          for j in range(width)])
+    b = base_sigs.select(F.col("doc_id").alias("doc_b"),
+                         *[F.col(f"mh_{j}").alias(f"_b{j}")
+                           for j in range(width)])
+    matches = None
+    for j in range(width):
+        m = (F.col(f"_a{j}") == F.col(f"_b{j}")).cast("int")
+        matches = m if matches is None else matches + m
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("est_matches", matches)
+            .filter(F.col("est_matches") >= min_matches)
+            .select("doc_a", "doc_b", "est_matches"))
 
 
 # Estimate-signature width for the verify prefilter. Wider than the

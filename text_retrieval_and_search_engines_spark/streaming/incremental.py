@@ -393,19 +393,31 @@ def stream_pages_into_index(spark: SparkSession, source_dir: str,
                             schema: str, catalog: Catalog,
                             cfg: IndexConfig,
                             checkpoint_dir: str,
-                            trigger_once: bool = True):
+                            trigger_once: bool = True,
+                            curate_neardups: bool = False):
     """readStream(parquet dir) -> foreachBatch append. With
     ``trigger_once`` the stream drains available files and stops —
     the batch-driven smoke-test shape; a real deployment drops it.
 
     The epoch tag derives from (checkpoint dir, epoch_id): Structured
     Streaming replays a failed micro-batch under the SAME epoch_id, so the
-    append protocol's done-marker makes the replay exactly-once."""
+    append protocol's done-marker makes the replay exactly-once.
+
+    ``curate_neardups``: each micro-batch is near-deduped against the
+    catalog's ``dedup_signatures`` state before indexing (and the state
+    advances with the kept docs' signatures, idempotent under the epoch
+    tag) — see operators.curate.append_pages_batch_curated. Requires the
+    state table (curate_corpus(..., write_state=True))."""
     stream = (spark.readStream.schema(schema).parquet(source_dir))
     scope = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if curate_neardups:
+            from ..operators.curate import append_pages_batch_curated
+            append_pages_batch_curated(spark, batch_df, catalog, cfg,
+                                       epoch_tag=f"{scope}e{epoch_id}")
             return
         append_pages_batch(spark, batch_df, catalog, cfg,
                            epoch_tag=f"{scope}e{epoch_id}")
