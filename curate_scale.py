@@ -44,11 +44,15 @@ def main() -> None:
     corpus_path = f"/tmp/curate_scale_{n_docs}.parquet"
     if not os.path.exists(corpus_path):
         base = synth_corpus(spark, n_docs, mean_tokens=60, n_partitions=32)
-        near = (base.filter(F.xxhash64("url") % 20 == 0)
+        # pmod, not %: Spark's % keeps the dividend's sign, so a nonzero
+        # remainder test over xxhash64 matches only positive hashes and
+        # halves the intended rate (the recorded 530k run planted ~1%
+        # exact dups for this reason; pmod gives the documented 2%)
+        near = (base.filter(F.pmod(F.xxhash64("url"), F.lit(20)) == 0)
                 .select(F.concat(F.col("url"), F.lit("?near")).alias("url"),
                         F.concat(F.lit("zq mutated prefix run xx "),
                                  F.col("text")).alias("text")))
-        exact = (base.filter(F.xxhash64("url") % 50 == 1)
+        exact = (base.filter(F.pmod(F.xxhash64("url"), F.lit(50)) == 1)
                  .select(F.concat(F.col("url"), F.lit("?copy")).alias("url"),
                          F.col("text")))
         base.unionByName(near).unionByName(exact) \

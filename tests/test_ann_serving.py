@@ -112,3 +112,19 @@ def test_ann_cli_build_and_query(spark, clustered, tmp_path):
     res = spark.read.parquet(out)
     assert res.count() == 4 * 5
     assert res.groupBy("qid").count().agg(F.min("count")).collect()[0][0] == 5
+
+
+def test_ivf_serve_n_probe_over_centroids_clamps(spark, clustered, tmp_path):
+    """n_probe > n_centroids must degrade to probing every cell (== brute
+    force over the whole corpus), not crash the probe kernel: the serving
+    CLI cannot see the build-time n_centroids."""
+    src, queries = clustered
+    emb = spark.read.parquet(src)
+    root = str(tmp_path / "catalog4")
+    similarity.ivf_build_serving(spark, Catalog(root), emb, n_centroids=4,
+                                 seed=11, iters=2, sim_round=6)
+    over = similarity.ivf_serve_topk(spark, Catalog(root), queries, k=5,
+                                     n_probe=8, sim_round=6)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    assert (sorted((r["qid"], r["nbr_id"]) for r in over.collect())
+            == sorted((r["qid"], r["nbr_id"]) for r in exact.collect()))

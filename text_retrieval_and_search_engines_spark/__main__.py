@@ -256,7 +256,8 @@ def main(argv: list[str] | None = None) -> int:
                 "url string, warc_ts timestamp, html binary, text string, "
                 "lang string", catalog, cfg,
                 checkpoint_dir=args.checkpoint or (args.catalog + "/_ckpt"),
-                curate_neardups=args.curate_neardups)
+                curate_neardups=args.curate_neardups,
+                neardup_jaccard=args.neardup_jaccard)
             q.awaitTermination()
             print("stream drained")
         elif args.curate_neardups:

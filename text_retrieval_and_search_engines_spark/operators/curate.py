@@ -241,7 +241,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
             pairs = dedup.simhash_neardup_with_metrics(
                 spark, catalog, fps, phase="curate_simhash",
                 max_hamming=cfg.simhash_max_hamming,
-                max_bucket=cfg.max_bucket)
+                max_bucket=cfg.max_bucket,
+                cache_registry=_cached)
             losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         elif cfg.near != "none":
             raise ValueError(f"unknown near-dedup mode {cfg.near!r}")
@@ -306,8 +307,9 @@ def filter_appended_neardups(spark: SparkSession, batch: DataFrame, catalog,
                              jaccard: float = 0.8, max_loss: float = 2e-3,
                              max_bucket: int = dedup.DEFAULT_MAX_BUCKET,
                              phase: str = "curate_append",
-                             update_state_tag: str | None = None
-                             ) -> tuple[DataFrame, dict]:
+                             update_state_tag: str | None = None,
+                             metrics_tag: str | None = None,
+                             _return_sigs: bool = False):
     """Near-dedup an appended micro-batch against the persisted base-corpus
     signature table (VERDICT r4 item 4: the streaming append path deduped
     exactly but a near-duplicate of a BASE doc sailed through).
@@ -322,24 +324,41 @@ def filter_appended_neardups(spark: SparkSession, batch: DataFrame, catalog,
     same banded LSH + estimate bar over the batch's own signatures
     (higher doc_id drops, matching curate_corpus).
 
-    Returns (kept_batch, stats); stats rows land in the catalog
-    ``metrics`` table under `phase`. With ``update_state_tag`` the kept
+    Returns (kept_batch, stats) — kept_batch comes back PERSISTED and
+    already materialized (the intermediate LSH frames are released before
+    returning, so an unmaterialized lazy result would re-run the whole
+    band-join subtree per downstream action); the caller unpersists when
+    done. Stats rows land in the catalog ``metrics`` table under `phase`;
+    pass ``metrics_tag`` to make that write idempotent (a Structured
+    Streaming replay of the same tag must not double-count the epoch's
+    drop metrics). Bucket-cap truncation in the base/within LSH joins is
+    counted into the same stats rows (dropped_buckets / dropped_rows) —
+    the no-silent-truncation rule. With ``update_state_tag`` the kept
     docs' signatures are APPENDED to the signature table, keyed by the
-    tag for idempotence: replaying the same tag (Structured Streaming
-    retry) skips the append, so signatures never double-count."""
+    tag for idempotence: replaying the same tag skips the whole filter.
+    The tag check uses `snapshot_is_live`, so rebuilding the base state
+    (curate --write-state) retires every earlier epoch tag rather than
+    letting a stale manifest entry swallow a new batch. With
+    ``_return_sigs`` (internal; append_pages_batch_curated) returns
+    (kept, stats, kept_sigs) with kept_sigs persisted+materialized so the
+    caller can commit it after the index append without recomputing
+    signatures from raw text."""
     sigs_fp = f"neardup-sigs:{update_state_tag}" if update_state_tag else None
-    if sigs_fp is not None and catalog.snapshot_for(NEARDUP_SIG_TABLE,
-                                                    sigs_fp) is not None:
+    if sigs_fp is not None and catalog.snapshot_is_live(NEARDUP_SIG_TABLE,
+                                                        sigs_fp):
         # state already advanced by this epoch: the batch was fully
         # processed before a crash/retry — report a no-op
         stats = {"batch_in": 0, "dropped_near_base": 0,
                  "dropped_within_batch": 0, "kept": 0, "skipped": True}
-        return batch.limit(0), stats
+        empty = batch.limit(0)
+        return (empty, stats, None) if _return_sigs else (empty, stats)
 
     bsh = dedup.char_shingles(batch, id_col=id_col, text_col=text_col)
     new_sigs = dedup.minhash_signatures(
         bsh, n_hashes=dedup.PREFILTER_N).persist()
-    drop_base = drop_within = None
+    drop_base = drop_within = kept = kept_sigs = None
+    cap_report: dict = {}
+    _caches: list = []
     try:
         n_in = batch.count()
         base_sigs = catalog.read_table(spark, NEARDUP_SIG_TABLE)
@@ -347,15 +366,18 @@ def filter_appended_neardups(spark: SparkSession, batch: DataFrame, catalog,
                                           max_loss)
         vs_base = dedup.minhash_neardup_vs_base(
             new_sigs, base_sigs, threshold=jaccard, max_loss=max_loss,
-            min_matches=bar, max_bucket=max_bucket)
+            min_matches=bar, max_bucket=max_bucket,
+            drop_report=cap_report, cache_registry=_caches)
         near_base = vs_base.select(F.col("doc_a").alias("doc_id")).distinct()
 
+        within_report: dict = {}
         within = dedup.sig_prefilter_pairs(
             dedup.minhash_lsh_pairs(
                 new_sigs.select(
                     "doc_id",
                     *[f"mh_{j}" for j in range(dedup.MINHASH_N)]),
-                max_bucket=max_bucket),
+                max_bucket=max_bucket, drop_report=within_report,
+                cache_registry=_caches),
             new_sigs, bar)
         near_within = within.select(F.col("doc_b").alias("doc_id")).distinct()
 
@@ -370,27 +392,49 @@ def filter_appended_neardups(spark: SparkSession, batch: DataFrame, catalog,
                 .join(drop_base.withColumnRenamed("doc_id", id_col),
                       id_col, "left_anti")
                 .join(drop_within.withColumnRenamed("doc_id", id_col),
-                      id_col, "left_anti"))
+                      id_col, "left_anti")
+                .persist())
+        n_kept = kept.count()   # materialize BEFORE the caches release
 
         stats = {"batch_in": n_in, "dropped_near_base": n_base,
-                 "dropped_within_batch": n_within,
-                 "kept": n_in - n_base - n_within}
-        mrows = [(phase, k, int(v)) for k, v in stats.items()]
-        catalog.write_table(
-            spark.createDataFrame(
-                mrows, "phase string, metric string, value long"),
-            "metrics", fingerprint=phase, mode="append")
+                 "dropped_within_batch": n_within, "kept": n_kept,
+                 "dropped_buckets": (
+                     int(cap_report.get("dropped_buckets", 0))
+                     + int(within_report.get("dropped_buckets", 0))),
+                 "dropped_rows": (
+                     int(cap_report.get("dropped_rows", 0))
+                     + int(within_report.get("dropped_rows", 0)))}
+        metrics_fp = (f"{phase}-metrics:{metrics_tag}" if metrics_tag
+                      else phase)
+        if metrics_tag is None or not catalog.snapshot_is_live(
+                "metrics", metrics_fp):
+            mrows = [(phase, k, int(v)) for k, v in stats.items()]
+            catalog.write_table(
+                spark.createDataFrame(
+                    mrows, "phase string, metric string, value long"),
+                "metrics", fingerprint=metrics_fp, mode="append")
 
-        if sigs_fp is not None:
+        if sigs_fp is not None or _return_sigs:
             kept_sigs = new_sigs.join(
                 kept.select(F.col(id_col).alias("doc_id")),
-                "doc_id", "left_semi")
+                "doc_id", "left_semi").persist()
+            kept_sigs.count()   # materialize off the cached new_sigs
+        if sigs_fp is not None:
             catalog.write_table(kept_sigs, NEARDUP_SIG_TABLE,
                                 fingerprint=sigs_fp, mode="append")
+        if _return_sigs:
+            return kept, stats, kept_sigs
+        if kept_sigs is not None:
+            kept_sigs.unpersist()
         return kept, stats
+    except BaseException:
+        for df in (kept, kept_sigs):
+            if df is not None:
+                df.unpersist()
+        raise
     finally:
         new_sigs.unpersist()
-        for df in (drop_base, drop_within):
+        for df in (drop_base, drop_within, *_caches):
             if df is not None:
                 df.unpersist()
 
@@ -413,22 +457,27 @@ def append_pages_batch_curated(spark: SparkSession, batch: DataFrame,
     Step 3 follows step 2, so `sigs done and index not done` is
     unreachable; a crash between 2 and 3 replays as: filter recomputes
     the same kept set against the UNCHANGED state, the index append
-    skips itself, and the signature append completes. The page key is
-    `url` (the index's external docid)."""
+    skips itself, and the signature append completes. The filter's drop
+    metrics are keyed by the epoch tag too, so a replay never
+    double-counts them. The page key is `url` (the index's external
+    docid)."""
     from ..streaming.incremental import append_pages_batch, epoch_applied
     sigs_fp = f"neardup-sigs:{epoch_tag}"
-    sigs_done = catalog.snapshot_for(NEARDUP_SIG_TABLE, sigs_fp) is not None
+    sigs_done = catalog.snapshot_is_live(NEARDUP_SIG_TABLE, sigs_fp)
     if sigs_done and epoch_applied(catalog, epoch_tag):
         return {"appended_docs": 0, "base_docid": -1, "skipped": True}
-    kept, stats = filter_appended_neardups(
+    kept, stats, kept_sigs = filter_appended_neardups(
         spark, batch, catalog, id_col="url", text_col="text",
-        jaccard=jaccard, max_loss=max_loss, update_state_tag=None)
-    info = append_pages_batch(spark, kept, catalog, index_cfg,
-                              epoch_tag=epoch_tag)
-    if not sigs_done:
-        kept_sigs = dedup.minhash_signatures(
-            dedup.char_shingles(kept, id_col="url", text_col="text"),
-            n_hashes=dedup.PREFILTER_N)
-        catalog.write_table(kept_sigs, NEARDUP_SIG_TABLE,
-                            fingerprint=sigs_fp, mode="append")
+        jaccard=jaccard, max_loss=max_loss, update_state_tag=None,
+        metrics_tag=epoch_tag, _return_sigs=True)
+    try:
+        info = append_pages_batch(spark, kept, catalog, index_cfg,
+                                  epoch_tag=epoch_tag)
+        if not sigs_done:
+            catalog.write_table(kept_sigs, NEARDUP_SIG_TABLE,
+                                fingerprint=sigs_fp, mode="append")
+    finally:
+        for df in (kept, kept_sigs):
+            if df is not None:
+                df.unpersist()
     return {**info, **{f"curate_{k}": v for k, v in stats.items()}}

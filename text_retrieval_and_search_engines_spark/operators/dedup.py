@@ -253,7 +253,8 @@ def minhash_neardup_vs_base(new_sigs: DataFrame, base_sigs: DataFrame,
                             max_loss: float = 2e-3,
                             min_matches: int | None = None,
                             max_bucket: int = DEFAULT_MAX_BUCKET,
-                            drop_report: dict | None = None) -> DataFrame:
+                            drop_report: dict | None = None,
+                            cache_registry: list | None = None) -> DataFrame:
     """Estimated near-dup pairs BETWEEN two signature frames (doc_a from
     `new_sigs`, doc_b from `base_sigs`) — the incremental-curation shape:
     an appended micro-batch's signatures are O(batch) to compute and LSH-
@@ -276,7 +277,8 @@ def minhash_neardup_vs_base(new_sigs: DataFrame, base_sigs: DataFrame,
     nb = (_band_buckets(new_sigs, n_hashes, bands)
           .withColumnRenamed("doc_id", "doc_a"))
     bb = _cap_buckets(_band_buckets(base_sigs, n_hashes, bands),
-                      ["band_id", "band_key"], max_bucket, drop_report)
+                      ["band_id", "band_key"], max_bucket, drop_report,
+                      cache_registry)
     bb = bb.withColumnRenamed("doc_id", "doc_b")
     pairs = (nb.join(bb, ["band_id", "band_key"])
              .filter(F.col("doc_a") != F.col("doc_b"))

@@ -256,9 +256,13 @@ def _ivf_query_cells(queries: DataFrame, cents: np.ndarray, n_probe: int,
     centroids by cosine — one vectorized Arrow pass over the tiny query
     batch. Stable sort: equal (rounded) sims resolve to the LOWER
     centroid_id, the same (sim DESC, centroid_id ASC) order a SQL twin
-    ranks by."""
+    ranks by. `n_probe` is clamped to the centroid count: the serving CLI
+    can ask for more probes than the state was built with (the build-time
+    n_centroids is invisible at query time), and probing every cell is
+    the correct degenerate answer, not a kernel crash."""
     from pyspark.sql import types as T
     cq = cents
+    n_probe = max(1, min(n_probe, int(cents.shape[0])))
 
     def qcells_kernel(iterator):
         for pdf in iterator:
@@ -420,16 +424,20 @@ def ivf_serve_topk(spark, catalog, queries: DataFrame, k: int = 5,
     O(query batch) + O(probed cells), never a corpus scan, across
     processes and sessions (VERDICT r4 item 3). The probed cell ids are
     collected driver-side (<= n_probe x |batch| ints) and pushed into the
-    scan as a static IN filter so parquet partition pruning applies."""
+    scan as a static IN filter so parquet partition pruning applies. The
+    (qid, centroid_id) rows are collected ONCE and rebuilt as a local
+    frame for the scoring join — the probe kernel runs a single time per
+    serve call instead of once for the id collection and again inside
+    the join."""
     cents = ivf_load_centroids(spark, catalog)
     qcells = _ivf_query_cells(queries, cents, n_probe, sim_round)
-    probed = sorted({int(r["centroid_id"])
-                     for r in qcells.select("centroid_id")
-                     .distinct().collect()})
+    qrows = qcells.collect()
+    probed = sorted({int(r["centroid_id"]) for r in qrows})
+    qcells_local = spark.createDataFrame(qrows, qcells.schema)
     cells = (catalog.read_table(spark, IVF_CELLS_TABLE)
              .filter(F.col("centroid_id").isin(probed))
              .withColumnRenamed("vec_id", "nbr_id"))
-    return _score_cells(cells, queries, qcells, k, sim_round)
+    return _score_cells(cells, queries, qcells_local, k, sim_round)
 
 
 def lsh_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,

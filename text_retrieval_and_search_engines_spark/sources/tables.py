@@ -96,8 +96,29 @@ class Catalog:
         self._append_snapshot({
             "table": table,
             "fingerprint": fingerprint,
+            "mode": mode,
             "committed_at": time.time(),
         })
+
+    def snapshot_is_live(self, table: str, fingerprint: str) -> bool:
+        """True iff a snapshot matching `fingerprint` exists AND has not been
+        superseded by a later overwrite-mode write of the same table. An
+        append's idempotence marker (e.g. ``neardup-sigs:{tag}``) dies with
+        the table state it appended to: after ``write_table(...,
+        mode="overwrite")`` rebuilds the table, replaying the same tag must
+        re-process, not skip — `snapshot_for` alone would match the stale
+        marker. Entries written before the manifest recorded `mode` count
+        as overwrites (the conservative direction: re-process)."""
+        match = overwrite = None
+        for s in self._load_manifest()["snapshots"]:
+            if s["table"] != table:
+                continue
+            sid = s.get("snapshot_id", 0)
+            if s.get("fingerprint") == fingerprint:
+                match = sid
+            if s.get("mode", "overwrite") == "overwrite":
+                overwrite = sid
+        return match is not None and (overwrite is None or match >= overwrite)
 
     def epoch_state(self) -> tuple[set[str], set[str]]:
         """(pending, done) epoch tags from the manifest — pending = commit

@@ -394,7 +394,8 @@ def stream_pages_into_index(spark: SparkSession, source_dir: str,
                             cfg: IndexConfig,
                             checkpoint_dir: str,
                             trigger_once: bool = True,
-                            curate_neardups: bool = False):
+                            curate_neardups: bool = False,
+                            neardup_jaccard: float = 0.8):
     """readStream(parquet dir) -> foreachBatch append. With
     ``trigger_once`` the stream drains available files and stops —
     the batch-driven smoke-test shape; a real deployment drops it.
@@ -417,7 +418,8 @@ def stream_pages_into_index(spark: SparkSession, source_dir: str,
         if curate_neardups:
             from ..operators.curate import append_pages_batch_curated
             append_pages_batch_curated(spark, batch_df, catalog, cfg,
-                                       epoch_tag=f"{scope}e{epoch_id}")
+                                       epoch_tag=f"{scope}e{epoch_id}",
+                                       jaccard=neardup_jaccard)
             return
         append_pages_batch(spark, batch_df, catalog, cfg,
                            epoch_tag=f"{scope}e{epoch_id}")
