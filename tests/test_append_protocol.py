@@ -859,3 +859,30 @@ def test_stream_self_compacts_past_threshold(spark, tmp_path, monkeypatch):
             .filter(F.col("df0").isNull() | F.col("df").isNull()
                     | (F.col("df0") != F.col("df"))).count())
     assert diff == 0
+
+
+def test_snapshot_is_live_manifest_semantics(tmp_path):
+    """snapshot_is_live: an append marker survives until the table's next
+    OVERWRITE retires it; legacy entries without a recorded mode count as
+    overwrites (conservative: re-process rather than skip)."""
+    cat = Catalog(str(tmp_path / "lcat"))
+    cat._append_snapshot({"table": "t", "fingerprint": "base",
+                          "mode": "overwrite"})
+    cat._append_snapshot({"table": "t", "fingerprint": "ep:1",
+                          "mode": "append"})
+    assert cat.snapshot_is_live("t", "ep:1")
+    assert cat.snapshot_is_live("t", "base")       # the overwrite itself
+    assert not cat.snapshot_is_live("t", "ep:0")   # never written
+    # other tables' overwrites don't retire t's markers
+    cat._append_snapshot({"table": "u", "fingerprint": "x",
+                          "mode": "overwrite"})
+    assert cat.snapshot_is_live("t", "ep:1")
+    # a rebuild of t retires the earlier append marker
+    cat._append_snapshot({"table": "t", "fingerprint": "base",
+                          "mode": "overwrite"})
+    assert not cat.snapshot_is_live("t", "ep:1")
+    # legacy entry with no mode field == overwrite
+    cat._append_snapshot({"table": "t", "fingerprint": "ep:2",
+                          "mode": "append"})
+    cat._append_snapshot({"table": "t", "fingerprint": "legacy"})
+    assert not cat.snapshot_is_live("t", "ep:2")
