@@ -65,17 +65,24 @@ FROM events
 """
 
 
-# events -> three runs with EXACT (order-independent) scores
+# events -> three runs with EXACT (order-independent) scores.
+# r6: ONE groupBy computing all three aggregates, exploded to tagged rows
+# (the old 3-way union aggregated the events table three times — guide
+# §2.4); identical rows/values/types.
 def _runs(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    g = ev.groupBy(F.col("event_type").alias("qid"),
-                   F.col("user_id").alias("docid"))
-    r1 = g.agg(F.count("*").cast("double").alias("score")).withColumn(
-        "run_id", F.lit("r1"))
-    r2 = g.agg(F.max("value").alias("score")).withColumn("run_id", F.lit("r2"))
-    r3 = g.agg(F.min("value").alias("score")).withColumn("run_id", F.lit("r3"))
-    return r1.unionByName(r2).unionByName(r3).select(
-        "run_id", "qid", "docid", "score")
+    g = (ev.groupBy(F.col("event_type").alias("qid"),
+                    F.col("user_id").alias("docid"))
+         .agg(F.count("*").cast("double").alias("_c"),
+              F.max("value").alias("_mx"),
+              F.min("value").alias("_mn")))
+    return (g.select("qid", "docid", F.explode(F.array(
+        F.struct(F.lit("r1").alias("run_id"), F.col("_c").alias("score")),
+        F.struct(F.lit("r2").alias("run_id"), F.col("_mx").alias("score")),
+        F.struct(F.lit("r3").alias("run_id"), F.col("_mn").alias("score"))))
+        .alias("_e"))
+        .select(F.col("_e.run_id").alias("run_id"), "qid", "docid",
+                F.col("_e.score").alias("score")))
 
 
 RUNS_SQL = """
@@ -102,7 +109,13 @@ SELECT DISTINCT event_type AS qid, user_id AS docid,
 
 
 def _run2(spark, sf_dir):
-    return (_runs(spark, sf_dir).filter(F.col("run_id") == "r2")
+    # r6: direct single aggregate (the old filter over the unioned _runs
+    # relied on Catalyst union-branch pruning; the exploded _runs shape
+    # would compute all three aggregates first)
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.col("event_type").alias("qid"),
+                       F.col("user_id").alias("docid"))
+            .agg(F.max("value").alias("score"))
             .select("qid", "docid", "score"))
 
 
@@ -127,8 +140,9 @@ def q_bm25_and(spark, sf_dir):
 
 
 def q_term_stats(spark, sf_dir):
-    tf = bm25.term_frequencies(bm25.simple_tokens(_docs(spark, sf_dir)))
-    return (bm25.document_frequencies(tf)
+    # r6: in-row run-length tf (array_term_tf) — one term-keyed exchange
+    # instead of (doc_id, term) pairs + term; identical integer df/cf
+    return (bm25.term_doc_stats(_docs(spark, sf_dir))
             .orderBy(F.desc("df"), F.asc("term")).limit(50))
 
 
@@ -142,9 +156,13 @@ ORDER BY df DESC, term ASC LIMIT 50
 
 def q_collection_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    tokens = bm25.simple_tokens(docs)
     n_docs = docs.count()
-    return (tokens.agg(F.count("*").alias("total_tokens"))
+    # r6: token total from sum(size(tokens)) — same value as counting
+    # exploded rows, no explode pass (guide §2.3 narrow aggregation)
+    words = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                     lambda w: w != "")
+    return (docs.select(F.size(words).alias("_n"))
+            .agg(F.sum("_n").alias("total_tokens"))
             .select(F.lit(n_docs).cast("long").alias("n_docs"),
                     "total_tokens",
                     F.round(F.col("total_tokens") / F.lit(float(n_docs)), 6)
@@ -312,16 +330,17 @@ SIMHASH_NEARDUP_SQL = _simhash_neardup_sql()
 
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
+    dim = similarity.vec_dim(emb)   # r6: unrolled codegen dot (same fold)
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"), "embedding"))
-    c = similarity.with_norm(emb).select(
+    c = similarity.with_norm(emb, dim=dim).select(
         F.col("vec_id").alias("nbr_id"), F.col("_vec").alias("cv"),
         F.col("_norm").alias("cn"))
-    qq = similarity.with_norm(q).select(
+    qq = similarity.with_norm(q, dim=dim).select(
         "qid", F.col("_vec").alias("qv"), F.col("_norm").alias("qn"))
     scored = (c.join(F.broadcast(qq))
               .select("qid", "nbr_id",
-                      F.round(similarity._dot(F.col("cv"), F.col("qv"))
+                      F.round(similarity._dot(F.col("cv"), F.col("qv"), dim)
                               / (F.col("cn") * F.col("qn")), 6)
                       .alias("cosine")))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -350,7 +369,8 @@ SELECT qid, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
 
 def q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
-    c = similarity.with_norm(emb).select(
+    dim = similarity.vec_dim(emb)   # r6: unrolled codegen dot (same fold)
+    c = similarity.with_norm(emb, dim=dim).select(
         F.col("vec_id").alias("id"), F.col("_vec").alias("v"),
         F.col("_norm").alias("n"))
     a = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
@@ -360,7 +380,7 @@ def q_embedding_neardup(spark, sf_dir):
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
-                F.round(similarity._dot(F.col("va"), F.col("vb"))
+                F.round(similarity._dot(F.col("va"), F.col("vb"), dim)
                         / (F.col("na") * F.col("nb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
     )
@@ -632,11 +652,11 @@ FROM run WINDOW w AS (PARTITION BY qid)
 # evaluation ------------------------------------------------------------------
 
 def q_eval_metrics(spark, sf_dir):
+    # r6: all four metrics from ONE ranked/joined/windowed pass
+    # (evaluation.metric_suite) — the composed per-metric joins built 50
+    # Exchange nodes for identical values
     run, qrels = _run2(spark, sf_dir), _qrels(spark, sf_dir)
-    out = evaluation.average_precision(run, qrels).withColumnRenamed("ap", "map")
-    out = out.join(evaluation.ndcg_at(run, qrels, 10), "qid")
-    out = out.join(evaluation.precision_at(run, qrels, 10), "qid")
-    out = out.join(evaluation.recall_at(run, qrels, 100), "qid")
+    out = evaluation.metric_suite(run, qrels, ndcg_k=10, p_k=10, r_k=100)
     return out.select(
         "qid", F.round("map", 9).alias("map"),
         F.round("ndcg_10", 9).alias("ndcg_10"),
@@ -685,8 +705,12 @@ FROM nr LEFT JOIN ap USING (qid) LEFT JOIN dcg USING (qid)
 
 def q_trec_format(spark, sf_dir):
     from .sources.trec_io import format_run
-    r1 = (_runs(spark, sf_dir).filter(F.col("run_id") == "r1")
-          .select("qid", "docid", "score"))
+    # r6: direct r1 aggregate (see _run2 — avoids computing the other two
+    # aggregates behind the exploded _runs shape)
+    ev = _t(spark, sf_dir, "events")
+    r1 = (ev.groupBy(F.col("event_type").alias("qid"),
+                     F.col("user_id").alias("docid"))
+          .agg(F.count("*").cast("double").alias("score")))
     return format_run(r1, "engine", max_docs=20).select("qid", "rank", "value")
 
 
@@ -728,7 +752,7 @@ def q_ann_multiprobe(spark, sf_dir):
     # k=10^6: keep EVERY bucket-matched candidate; the pinned rounded
     # re-rank below does the real top-5
     cands = lsh_cosine_topk(emb, q, k=1_000_000, n_planes=ANN_MP_PLANES,
-                            seed=ANN_MP_SEED, n_probes=1)
+                            seed=ANN_MP_SEED, n_probes=1, dim=ANN_MP_DIM)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (cands.select("qid", "nbr_id",
                          F.round("cosine", 6).alias("cosine"))
@@ -789,7 +813,8 @@ def q_ann_margin(spark, sf_dir):
          .select(F.col("vec_id").alias("qid"), "embedding"))
     cands = lsh_cosine_topk_margin(emb, q, k=1_000_000,
                                    n_planes=ANN_MP_PLANES, seed=ANN_MP_SEED,
-                                   probe_budget=ANN_MG_BUDGET)
+                                   probe_budget=ANN_MG_BUDGET,
+                                   dim=ANN_MP_DIM)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (cands.select("qid", "nbr_id",
                          F.round("cosine", 6).alias("cosine"))

@@ -153,10 +153,14 @@ def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
     bgrams = F.broadcast(benchmark_ngrams(
         bench, n, bench_text_col if bench_text_col is not None else text_col,
         hash_impl=hash_impl))
-    # ONE pass builds windows; n_windows comes from the same exploded
-    # frame (docs with zero windows restored by the ids left join, whose
-    # scan never touches the window-build expressions)
-    ids = docs.select(F.col(id_col).alias("doc_id"))
+    # r6: n_windows is size(word_ngram_array) — a NARROW per-doc
+    # expression on the ids scan (guide §2.3), replacing the old
+    # groupBy(doc_id) over the exploded frame: one fewer full
+    # window-build pass (non-persist mode) / one fewer cache-read
+    # aggregate (persist mode). Identical integers by construction.
+    ids = docs.select(F.col(id_col).alias("doc_id"),
+                      F.size(word_ngram_array(F.col(text_col), n))
+                      .cast("long").alias("n_windows"))
     exploded = (docs
                 .select(F.col(id_col).alias("doc_id"),
                         F.explode(word_ngram_array(F.col(text_col), n))
@@ -164,19 +168,14 @@ def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
                 .select("doc_id",
                         _gram_key(F.col("gram"), hash_impl).alias("gram_h")))
     exploded = _materialize(exploded, persist, scratch_path, cache_registry)
-    per_doc = exploded.groupBy("doc_id").agg(
-        F.count("*").alias("n_windows"))
     hits = (exploded
             .join(bgrams, "gram_h")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_hits")))
     return (ids
-            .join(per_doc, "doc_id", "left")
             .join(hits, "doc_id", "left")
             .select(
-                "doc_id",
-                F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
-                .alias("n_windows"),
+                "doc_id", "n_windows",
                 F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
                 .alias("n_hits"))
             .withColumn("contaminated", (F.col("n_hits") > 0).cast("int")))
@@ -229,7 +228,12 @@ def dup_span_stats(docs: DataFrame, n: int = 10, min_count: int = 2,
     of per consumer (see _materialize); at 100 TB always do. Exchanges
     move O(tokens) 8-byte keys — the same volume the postings build
     moves, which holds at 3.1B postings (BENCH.md 20M-doc run)."""
-    ids = docs.select(F.col(id_col).alias("doc_id"))
+    # r6: n_windows narrowly from size(word_ngram_array) — see
+    # contamination_stats; the exploded frame keeps TWO consumers
+    # (dup-gram counts, hit counts) instead of three.
+    ids = docs.select(F.col(id_col).alias("doc_id"),
+                      F.size(word_ngram_array(F.col(text_col), n))
+                      .cast("long").alias("n_windows"))
     exploded = (docs
                 .select(F.col(id_col).alias("doc_id"),
                         F.explode(word_ngram_array(F.col(text_col), n))
@@ -238,8 +242,6 @@ def dup_span_stats(docs: DataFrame, n: int = 10, min_count: int = 2,
                         _gram_key(F.col("gram"), hash_impl)
                         .alias("gram_h")))
     exploded = _materialize(exploded, persist, scratch_path, cache_registry)
-    per_doc = exploded.groupBy("doc_id").agg(
-        F.count("*").alias("n_windows"))
     dup_grams = (exploded.groupBy("gram_h")
                  .agg(F.count("*").alias("occ"))
                  .filter(F.col("occ") >= min_count)
@@ -248,12 +250,9 @@ def dup_span_stats(docs: DataFrame, n: int = 10, min_count: int = 2,
                   .groupBy("doc_id")
                   .agg(F.count("*").alias("n_dup_windows")))
     return (ids
-            .join(per_doc, "doc_id", "left")
             .join(dup_counts, "doc_id", "left")
             .select(
-                "doc_id",
-                F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
-                .alias("n_windows"),
+                "doc_id", "n_windows",
                 F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
                 .alias("n_dup_windows"))
             .withColumn(

@@ -75,19 +75,21 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 def char_shingles(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
-    """Distinct char k-shingles per doc, JVM-side: sequence+explode+substring.
-    Short docs (< k chars) contribute their whole text as one shingle."""
+    """Distinct char k-shingles per doc, JVM-side. Short docs (< k chars)
+    contribute their whole text as one shingle.
+
+    r6: the distinct runs IN-ROW (array_distinct over the per-doc shingle
+    array, then explode) — a (doc_id, shingle) group never spans rows, so
+    the old explode-then-``.distinct()`` exchanged every shingle
+    occurrence for nothing (guide §2.4 "a distinct on data that is
+    already unique [per row]"). Same distinct row set, zero shuffles."""
     norm = normalize_text(F.col(text_col))
     return (
         docs.select(F.col(id_col).alias("doc_id"), norm.alias("t"))
         .select("doc_id",
-                F.explode(F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("t") - F.lit(k - 1), F.lit(1))))
-                .alias("i"),
-                "t")
-        .select("doc_id", F.expr(f"substr(t, i, {k})").alias("shingle"))
-        .distinct()
+                F.explode(F.array_distinct(F.expr(
+                    f"transform(sequence(1, greatest(length(t) - {k - 1}, "
+                    f"1)), i -> substr(t, i, {k}))"))).alias("shingle"))
     )
 
 
@@ -211,16 +213,25 @@ def simhash_neardup_with_metrics(spark: SparkSession, catalog,
 def _band_buckets(signatures: DataFrame, n_hashes: int,
                   bands: int) -> DataFrame:
     """(doc_id, band_id, band_key) rows: one md5 band key per signature
-    band — the shared bucket-building step of banded LSH."""
+    band — the shared bucket-building step of banded LSH.
+
+    r6: one EXPLODE over an inline (band_id, band_key) struct array
+    instead of a `bands`-way union — the union duplicated the whole
+    signature subtree (shingles + minhash aggregate) once PER BAND in the
+    physical plan (guide §2.4; 4 redundant corpus passes at the default
+    banding). Identical rows."""
     rows_per_band = n_hashes // bands
-    per_band = []
+    entries = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string")
                 for r in range(rows_per_band)]
-        key = F.md5(F.concat_ws("|", *cols)).alias("band_key")
-        per_band.append(signatures.select(
-            "doc_id", F.lit(b).alias("band_id"), key))
-    return reduce(lambda a, c: a.unionByName(c), per_band)
+        entries.append(F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key")))
+    return (signatures
+            .select("doc_id", F.explode(F.array(*entries)).alias("_b"))
+            .select("doc_id", F.col("_b.band_id").alias("band_id"),
+                    F.col("_b.band_key").alias("band_key")))
 
 
 def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
@@ -436,12 +447,18 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """tf-weighted simhash fingerprint: bit i of h64(term) votes +tf/-tf;
     fingerprint bit i = 1 iff the vote sum is positive. JVM-side only."""
+    # r6: per-doc tf computed IN-ROW (run-length over the sorted token
+    # array) — a (doc_id, term) group never spans rows, so the old
+    # groupBy(doc_id, term) exchange was pure overhead (guide §2.4);
+    # identical (doc_id, term, tf) multiset, ONE shuffle (the vote agg)
+    from ..plans.bm25_relational import array_term_tf
+    words = F.filter(F.split(normalize_text(F.col(text_col)),
+                             r"[^a-z0-9]+"), lambda w: w != "")
     toks = (
         docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(F.split(normalize_text(F.col(text_col)),
-                                      r"[^a-z0-9]+")).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+                    F.explode(array_term_tf(words)).alias("e"))
+        .select("doc_id", F.col("e.term").alias("term"),
+                F.col("e.tf").cast("long").alias("tf"))
         .withColumn("h", h64(F.col("term"), "sh:"))
     )
     votes = [
@@ -468,14 +485,17 @@ def simhash_neardup(fps: DataFrame, max_hamming: int = 3, bits: int = 32,
     `cache_registry=[...]` takes ownership of the cap's shared cache."""
     width = bits // bands
     mask = (1 << width) - 1
-    per_band = [
-        fps.select("doc_id",
-                   F.lit(b).alias("band_id"),
-                   F.shiftright("simhash", b * width)
-                   .bitwiseAND(F.lit(mask)).alias("band_val"))
-        for b in range(bands)
-    ]
-    buckets = reduce(lambda a, c: a.unionByName(c), per_band)
+    # r6: explode instead of a bands-way union (the union recomputed the
+    # fps aggregate subtree once per band — guide §2.4); identical rows
+    entries = [F.struct(
+        F.lit(b).alias("band_id"),
+        F.shiftright("simhash", b * width)
+        .bitwiseAND(F.lit(mask)).alias("band_val"))
+        for b in range(bands)]
+    buckets = (fps
+               .select("doc_id", F.explode(F.array(*entries)).alias("_b"))
+               .select("doc_id", F.col("_b.band_id").alias("band_id"),
+                       F.col("_b.band_val").alias("band_val")))
     buckets = _cap_buckets(buckets, ["band_id", "band_val"], max_bucket,
                            drop_report, cache_registry)
     left = buckets.withColumnsRenamed({"doc_id": "doc_a", "band_val": "val"})

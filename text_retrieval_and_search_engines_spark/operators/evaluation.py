@@ -94,6 +94,49 @@ def ndcg_at(run: DataFrame, qrels: DataFrame, k: int | None = None) -> DataFrame
                             / F.col("idcg")).alias(name)))
 
 
+def metric_suite(run: DataFrame, qrels: DataFrame, ndcg_k: int = 10,
+                 p_k: int = 10, r_k: int = 100) -> DataFrame:
+    """(qid, map, ndcg_{k}, p_{k}, recall_{k}) in ONE plan — value-identical
+    to composing average_precision/ndcg_at/precision_at/recall_at with
+    inner qid joins, but the run is ranked/joined/windowed ONCE and all
+    four metrics come out of a single conditional aggregate (guide
+    §2.3/§2.4: the composed shape re-ranked and re-joined the same run
+    five times — 50 Exchange nodes at the entry registry's shape; this
+    plan has ~7). Output rows: qids with >= 1 relevant judgment, exactly
+    as before (each old frame was keyed by that same set)."""
+    j = _with_rel(run, qrels)
+    w = Window.partitionBy("qid").orderBy("rank")
+    j = j.withColumn("cum_rel", F.sum("is_rel").over(w))
+    per_q = j.groupBy("qid").agg(
+        F.sum(F.when(F.col("is_rel") == 1,
+                     F.col("cum_rel") / F.col("rank"))).alias("sum_prec"),
+        F.sum(F.when(F.col("rank") <= ndcg_k,
+                     F.col("rel") / F.log2(F.col("rank") + 1))).alias("dcg"),
+        F.sum(F.when(F.col("rank") <= p_k,
+                     F.col("is_rel"))).alias("p_hits"),
+        F.sum(F.when(F.col("rank") <= r_k,
+                     F.col("is_rel"))).alias("rel_ret"))
+    wi = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("docid"))
+    nr_idcg = (qrels.filter(F.col("rel") > 0)
+               .withColumn("irank", F.row_number().over(wi))
+               .groupBy("qid").agg(
+                   F.count("*").alias("num_rel"),
+                   F.sum(F.when(F.col("irank") <= ndcg_k,
+                                F.col("rel") / F.log2(F.col("irank") + 1)))
+                   .alias("idcg")))
+    return (nr_idcg.join(per_q, "qid", "left")
+            .select(
+                "qid",
+                (F.coalesce(F.col("sum_prec"), F.lit(0.0))
+                 / F.col("num_rel")).alias("map"),
+                (F.coalesce(F.col("dcg"), F.lit(0.0))
+                 / F.col("idcg")).alias(f"ndcg_{ndcg_k}"),
+                (F.coalesce(F.col("p_hits"), F.lit(0))
+                 / F.lit(float(p_k))).alias(f"p_{p_k}"),
+                (F.coalesce(F.col("rel_ret"), F.lit(0))
+                 / F.col("num_rel")).alias(f"recall_{r_k}")))
+
+
 def evaluate_run(run: DataFrame, qrels: DataFrame,
                  p_cutoffs: tuple[int, ...] = (10, 20, 100, 1000),
                  r_cutoffs: tuple[int, ...] = (100, 1000),

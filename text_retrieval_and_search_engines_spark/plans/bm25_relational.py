@@ -47,6 +47,45 @@ def term_frequencies(tokens: DataFrame) -> DataFrame:
     return tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
+def array_term_tf(tokens_array):
+    """array<struct<term,tf>> of distinct tokens + occurrence counts of an
+    array<string> column, computed INSIDE the row (sort + run-length over
+    the sorted array, all codegen): the per-doc (doc_id, term) -> tf
+    aggregation without the (doc_id, term)-keyed exchange — (doc, term)
+    groups never span rows, so shuffling them was pure overhead (guide
+    §2.4). Exact integer counts; multiset identical to exploding the array
+    and counting. Empty arrays yield empty pair arrays."""
+    s = F.array_sort(tokens_array)
+    n = F.size(s)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == F.lit(0)) | (F.get(s, i) != F.get(s, i - 1)))
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(starts) - 1),
+        lambda j: F.struct(
+            F.get(s, F.get(starts, j)).alias("term"),
+            (F.coalesce(F.get(starts, j + 1), n)
+             - F.get(starts, j)).alias("tf")))
+    return F.when(n > 0, pairs).otherwise(
+        F.array().cast("array<struct<term:string,tf:int>>"))
+
+
+def term_doc_stats(docs: DataFrame) -> DataFrame:
+    """(term, df, cf) — value-identical to
+    ``document_frequencies(term_frequencies(simple_tokens(docs)))`` but
+    with per-doc tf computed in-row (array_term_tf) so the ONLY exchange
+    is the term-keyed aggregate, whose map-side partial agg collapses each
+    partition to its vocabulary (guide §2.3: the old plan exchanged every
+    distinct (doc_id, term) pair, then exchanged again by term)."""
+    words = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                     lambda w: w != "")
+    return (docs.select(F.explode(array_term_tf(words)).alias("e"))
+            .select(F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"),
+                 F.sum("tf").alias("cf")))
+
+
 def doc_lengths(tokens: DataFrame) -> DataFrame:
     return tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
 
@@ -60,15 +99,28 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]], k: int = 10,
               k1: float = K1_DEFAULT, b: float = B_DEFAULT,
               mode: str = "or") -> DataFrame:
     """Top-k BM25 -> (qid, doc_id, score, rank); score rounded to 6dp,
-    rank tie-break (score DESC, doc_id ASC)."""
+    rank tie-break (score DESC, doc_id ASC).
+
+    Round-6 plan (guide §2.3/§2.4 — shuffle only what the query needs):
+    the old shape tokenized the corpus ~5x (docs.count, tokens.count, tf,
+    dl, dfreq) and exchanged the FULL (doc_id, term, tf) relation twice.
+    Query terms are a tiny driver-side set, so everything per-corpus the
+    scoring needs restricts to them BEFORE any exchange:
+
+    * pass 1 (one job): n_docs, total tokens AND per-query-term corpus
+      presence booleans, all from one narrow aggregate over the token
+      ARRAY (no explode) — replaces two count() jobs + the dfreq
+      semi-join that fed n_qterms;
+    * pass 2 (the returned plan): per doc, dl = size(tokens) and the
+      query-term-only token subset; explode + tf-aggregate touches ONLY
+      matched occurrences, df per term comes from a count-over-window on
+      that (tiny) matched frame — identical integers to the full dfreq
+      for every query term, since df counts docs containing the term.
+
+    Per-(qid, doc) contributions and the 6dp-round-then-rank convention
+    are unchanged (summation order was never pinned — both engines round
+    before ranking)."""
     spark = docs.sparkSession
-    tokens = simple_tokens(docs)
-    tf = term_frequencies(tokens)
-    dl = doc_lengths(tokens)
-    dfreq = document_frequencies(tf)
-    n_docs = docs.count()
-    total_tokens = tokens.count()
-    avgdl = total_tokens / n_docs if n_docs else 0.0
 
     qtok = []
     for qid, text in queries:
@@ -78,9 +130,39 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]], k: int = 10,
             seen[t] = seen.get(t, 0) + 1
         for t, w in seen.items():
             qtok.append((qid, t, float(w)))
+    if not qtok:
+        return spark.createDataFrame(
+            [], "qid string, doc_id long, score double, rank int")
+    qterm_list = sorted({t for _, t, _ in qtok})
+
+    words = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                     lambda w: w != "")
+    # pass 1: collection stats + per-term presence in ONE aggregate job
+    stats = docs.select(
+        F.size(words).alias("_dl"),
+        *[F.array_contains(words, t).cast("int").alias(f"_p{i}")
+          for i, t in enumerate(qterm_list)]
+    ).agg(F.count("*").alias("n"), F.sum("_dl").alias("tot"),
+          *[F.max(f"_p{i}").alias(f"_p{i}")
+            for i in range(len(qterm_list))]).collect()[0]
+    n_docs = int(stats["n"])
+    total_tokens = int(stats["tot"] or 0)
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+    present = {t for i, t in enumerate(qterm_list) if (stats[f"_p{i}"] or 0)}
+
     qterms = spark.createDataFrame(qtok, "qid string, term string, weight double")
-    n_qterms = (qterms.join(dfreq, "term", "left_semi")
-                .groupBy("qid").agg(F.count("*").alias("n_qterms")))
+
+    # pass 2: matched-occurrence tf + windowed df (query-term rows only)
+    tf_m = (
+        docs.select(F.col("doc_id"), F.size(words).alias("dl"),
+                    F.filter(words, lambda w: w.isin(qterm_list))
+                    .alias("_mw"))
+        .filter(F.size("_mw") > 0)
+        .select("doc_id", "dl", F.explode("_mw").alias("term"))
+        .groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    )
+    wdf = Window.partitionBy("term")
+    tf_df = tf_m.withColumn("df", F.count("*").over(wdf))
 
     idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
@@ -89,15 +171,23 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]], k: int = 10,
     contrib = (F.col("weight") * idf * tfnorm).alias("contrib")
 
     scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(dfreq.select("term", "df"), "term")
-        .join(dl, "doc_id")
+        tf_df.join(F.broadcast(qterms), "term")
         .select("qid", "doc_id", contrib)
         .groupBy("qid", "doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"),
              F.count("*").alias("n_matched"))
     )
     if mode == "and":
+        # n_qterms = query terms with df >= 1 anywhere in the corpus —
+        # exactly the presence booleans from pass 1 (driver-side map)
+        n_q = {}
+        seen_qt = set()
+        for qid, t, _ in qtok:
+            if t in present and (qid, t) not in seen_qt:
+                seen_qt.add((qid, t))
+                n_q[qid] = n_q.get(qid, 0) + 1
+        n_qterms = spark.createDataFrame(
+            [(q, c) for q, c in n_q.items()], "qid string, n_qterms long")
         scored = (scored.join(F.broadcast(n_qterms), "qid")
                   .filter(F.col("n_matched") == F.col("n_qterms")))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
