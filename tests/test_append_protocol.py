@@ -697,6 +697,39 @@ def test_manifest_pruning_bounds_epoch_entries(spark, tmp_path):
     assert reader.n_docs == 45
 
 
+def test_manifest_pruning_drops_curated_epoch_markers(spark, tmp_path):
+    """r6 (ADVICE r5): curated appends add per-epoch 'neardup-sigs:{tag}'
+    and '{phase}-metrics:{tag}' manifest entries; pruning must retire them
+    with their epoch tags (else a long curated stream grows the manifest
+    ~2 entries/epoch unbounded), while entries of RETAINED epochs and
+    non-epoch metrics entries survive."""
+    cat = _build(spark, tmp_path)
+    base_entries = len(cat._load_manifest()["snapshots"])
+    for i in range(120):
+        tag = f"ct{i}"
+        cat._append_snapshot({"table": "_epochs",
+                              "fingerprint": f"{tag}:commit",
+                              "epoch_tag": tag, "tables": []})
+        cat._append_snapshot({"table": "dedup_signatures",
+                              "fingerprint": f"neardup-sigs:{tag}"})
+        cat._append_snapshot({"table": "metrics",
+                              "fingerprint": f"curate_append-metrics:{tag}"})
+        cat._append_snapshot({"table": "_epochs",
+                              "fingerprint": f"{tag}:done"})
+    # non-epoch metrics entries must never be pruned
+    cat._append_snapshot({"table": "metrics", "fingerprint": "curate"})
+    dropped = cat.prune_manifest(keep_epochs=20)
+    assert dropped == 100 * 4
+    snaps = cat._load_manifest()["snapshots"]
+    fps = [s["fingerprint"] for s in snaps]
+    assert "neardup-sigs:ct0" not in fps
+    assert "curate_append-metrics:ct0" not in fps
+    assert "neardup-sigs:ct119" in fps          # retained epoch survives
+    assert "curate_append-metrics:ct119" in fps
+    assert "curate" in fps                      # non-epoch metrics entry
+    assert len(snaps) == base_entries + 20 * 4 + 1
+
+
 def test_streaming_dedup_winner_deterministic(spark, tmp_path):
     """ADVICE r2: among same-batch duplicates the surviving row is the
     minimum (warc_ts, url) — not an arbitrary arrival-order artifact."""

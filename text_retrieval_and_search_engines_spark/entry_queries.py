@@ -37,17 +37,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Full-table read with scale-adaptive input parallelism (guide §2.5):
+    the sf parquet files plan into 1-2 splits, serializing every heavy
+    per-row stage above the scan; a no-op whenever the input already has
+    >= defaultParallelism splits (any real corpus)."""
+    from .functions.partitioning import ensure_min_partitions
+    return ensure_min_partitions(_t(spark, sf_dir, name))
+
+
 def _docs(spark, sf_dir):
-    return _t(spark, sf_dir, "documents")
+    return _tp(spark, sf_dir, "documents")
 
 
 def _docs_small(spark, sf_dir):
-    return _docs(spark, sf_dir).filter(F.col("doc_id") < DEDUP_LIMIT)
+    # direct read keeps the doc_id pushdown (a repartition above the scan
+    # would block it); the surviving 300 rows need no parallelism
+    return _t(spark, sf_dir, "documents").filter(F.col("doc_id") < DEDUP_LIMIT)
 
 
 # events -> passages(qid, docid, passage_idx, score)
 def _passages(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
     return ev.select(
         F.col("event_type").alias("qid"),
@@ -70,7 +81,7 @@ FROM events
 # (the old 3-way union aggregated the events table three times — guide
 # §2.4); identical rows/values/types.
 def _runs(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     g = (ev.groupBy(F.col("event_type").alias("qid"),
                     F.col("user_id").alias("docid"))
          .agg(F.count("*").cast("double").alias("_c"),
@@ -96,7 +107,7 @@ SELECT 'r3', event_type, user_id, min(value) FROM events GROUP BY 2, 3
 
 
 def _qrels(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     return ev.select(
         F.col("event_type").alias("qid"), F.col("user_id").alias("docid"),
         (F.col("user_id") % 3).cast("int").alias("rel")).distinct()
@@ -112,7 +123,7 @@ def _run2(spark, sf_dir):
     # r6: direct single aggregate (the old filter over the unioned _runs
     # relied on Catalyst union-branch pruning; the exploded _runs shape
     # would compute all three aggregates first)
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     return (ev.groupBy(F.col("event_type").alias("qid"),
                        F.col("user_id").alias("docid"))
             .agg(F.max("value").alias("score"))
@@ -329,18 +340,19 @@ SIMHASH_NEARDUP_SQL = _simhash_neardup_sql()
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    dim = similarity.vec_dim(emb)   # r6: unrolled codegen dot (same fold)
+    # r6 note: a statically-unrolled dot product was A/B'd here and LOST
+    # to the higher-order fold (warm 2.7 s vs 1.3 s at sf1.0) — kept fold.
+    emb = _tp(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"), "embedding"))
-    c = similarity.with_norm(emb, dim=dim).select(
+    c = similarity.with_norm(emb).select(
         F.col("vec_id").alias("nbr_id"), F.col("_vec").alias("cv"),
         F.col("_norm").alias("cn"))
-    qq = similarity.with_norm(q, dim=dim).select(
+    qq = similarity.with_norm(q).select(
         "qid", F.col("_vec").alias("qv"), F.col("_norm").alias("qn"))
     scored = (c.join(F.broadcast(qq))
               .select("qid", "nbr_id",
-                      F.round(similarity._dot(F.col("cv"), F.col("qv"), dim)
+                      F.round(similarity._dot(F.col("cv"), F.col("qv"))
                               / (F.col("cn") * F.col("qn")), 6)
                       .alias("cosine")))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -368,9 +380,8 @@ SELECT qid, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 def q_embedding_neardup(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
-    dim = similarity.vec_dim(emb)   # r6: unrolled codegen dot (same fold)
-    c = similarity.with_norm(emb, dim=dim).select(
+    emb = _tp(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    c = similarity.with_norm(emb).select(
         F.col("vec_id").alias("id"), F.col("_vec").alias("v"),
         F.col("_norm").alias("n"))
     a = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
@@ -380,7 +391,7 @@ def q_embedding_neardup(spark, sf_dir):
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
-                F.round(similarity._dot(F.col("va"), F.col("vb"), dim)
+                F.round(similarity._dot(F.col("va"), F.col("vb"))
                         / (F.col("na") * F.col("nb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
     )
@@ -707,7 +718,7 @@ def q_trec_format(spark, sf_dir):
     from .sources.trec_io import format_run
     # r6: direct r1 aggregate (see _run2 — avoids computing the other two
     # aggregates behind the exploded _runs shape)
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     r1 = (ev.groupBy(F.col("event_type").alias("qid"),
                      F.col("user_id").alias("docid"))
           .agg(F.count("*").cast("double").alias("score")))
@@ -746,7 +757,7 @@ def q_ann_multiprobe(spark, sf_dir):
     ann_cosine_topk)."""
     from .operators.similarity import lsh_cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"), "embedding"))
     # k=10^6: keep EVERY bucket-matched candidate; the pinned rounded
@@ -808,7 +819,7 @@ def q_ann_margin(spark, sf_dir):
     cosine verify. Rounded re-rank convention as ann_multiprobe."""
     from .operators.similarity import lsh_cosine_topk_margin
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"), "embedding"))
     cands = lsh_cosine_topk_margin(emb, q, k=1_000_000,
@@ -1086,7 +1097,7 @@ def q_ivf_topk(spark, sf_dir):
     float64; a SQL twin of Lloyd iterations would pin nothing useful)."""
     import numpy as np
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     rows = (emb.filter(F.col("vec_id") < IVF_N_CENT).orderBy("vec_id")
             .select("embedding").collect())
     cents = np.array([r["embedding"] for r in rows], dtype=np.float64)

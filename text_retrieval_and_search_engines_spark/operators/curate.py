@@ -108,8 +108,32 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
     ``filter_appended_neardups`` checks later micro-batches against. In
     minhash mode this is a semi-join of the already-persisted signature
     frame (no extra corpus pass); other modes compute it fresh."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _prof = _os.environ.get("SPARK_GRAFT_CURATE_PROF") == "1"
+
+    def _pt(label: str, df_to_count=None):
+        """Profiling-only stage boundary: with SPARK_GRAFT_CURATE_PROF=1,
+        force `df_to_count` and print the wall since the previous mark.
+        A no-op (no extra actions) otherwise."""
+        if not _prof:
+            return
+        if df_to_count is not None:
+            df_to_count.count()
+        now = _time.perf_counter()
+        _sys.stderr.write(
+            f"CURATEPROF {label} {now - _pt.t0:.2f}s\n")
+        _pt.t0 = now
+    _pt.t0 = _time.perf_counter()
+
     passthrough = [c for c in docs.columns if c not in (id_col, text_col)]
     shield = {c: f"_pt_{c}" for c in passthrough if c in _FEATURE_COLS}
+    # guide §2.5: a small parquet corpus plans into 1-2 splits and every
+    # heavy per-row stage of the DAG (features, shingles, the 32-wide
+    # signature hashing) then runs nearly serial; no-op at real scale
+    from ..functions.partitioning import ensure_min_partitions
+    docs = ensure_min_partitions(docs)
     src = docs.withColumnsRenamed(shield) if shield else docs
     pt = [shield.get(c, c) for c in passthrough]
 
@@ -168,12 +192,15 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
             n_dupspan = spans.count()
             kept = kept.join(spans, "doc_id", "left_anti")
 
+        _pt("quality_flagged", flagged)
+
         # --- stage 2: exact dedup (one agg + winner semi-join) ---
         hashed = kept.withColumn(
             "_th", F.md5(dedup.normalize_text(F.col(text_col))))
         winners = hashed.groupBy("_th").agg(F.min("doc_id").alias("doc_id"))
         exact_kept = (hashed.join(winners, ["_th", "doc_id"], "left_semi")
                       .drop("_th").persist())
+        _pt("exact_dedup", exact_kept)
 
         # --- stage 3: near dedup on the exact-deduped survivors ---
         losers = None
@@ -194,34 +221,49 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
             # concentration). The wide frame repays itself when the
             # verify join sees ~the true near-dup volume instead of
             # LSH's false-candidate volume.
+            _pt("shingles", shingles)
             est_sigs = dedup.minhash_signatures(
                 shingles, n_hashes=dedup.PREFILTER_N).persist()
-            sigs = est_sigs.select(
-                "doc_id",
-                *[f"mh_{j}" for j in range(dedup.MINHASH_N)])
+            _pt("est_sigs_32w", est_sigs)
             _cached.extend([shingles, est_sigs])
-            pairs = dedup.minhash_lsh_pairs_with_metrics(
-                spark, catalog, sigs, phase="curate_minhash_lsh",
-                max_bucket=cfg.max_bucket,
-                cache_registry=_cached).persist()
-            _cached.append(pairs)
             bar = dedup.prefilter_min_matches(
                 cfg.jaccard, dedup.PREFILTER_N, cfg.prefilter_max_loss)
-            pref = dedup.sig_prefilter_pairs(pairs, est_sigs, bar).persist()
+            # r6 (VERDICT r5 item 1): banded LSH with the estimate
+            # prefilter applied INLINE in the bucket self-join — the
+            # collision volume (139.5M pairs at sf1.0, 2,800/doc) no
+            # longer transits ANY exchange; only band rows and the
+            # prefilter survivors move. Provably the same surviving pair
+            # set as the old distinct -> sig_prefilter_pairs composition
+            # (same mh components, same integer bar), so the verified
+            # pairs, losers and curated output are value-identical.
+            cap_report: dict = {}
+            pref, bucket_sizes = dedup.minhash_lsh_prefiltered_pairs(
+                est_sigs, min_matches=bar, max_bucket=cfg.max_bucket,
+                drop_report=cap_report, cache_registry=_cached)
+            dedup.record_drop_report(spark, catalog, cap_report,
+                                     "curate_minhash_lsh")
+            pref = pref.persist()
             _cached.append(pref)
-            # no-silent-truncation: the pruned candidate volume, the
-            # calibrated loss bound AND the exact-verified pair count land
-            # in the metrics table — the full candidates -> prefiltered ->
-            # verified stage breakdown. `verified` is persisted so the
-            # expensive shingle-join verify executes ONCE (the count and
-            # the loser anti-join both read the cache).
-            n_cand, n_pref = pairs.count(), pref.count()
+            # no-silent-truncation: the collision volume (derived from
+            # cap-surviving bucket sizes as sum n*(n-1)/2 — never
+            # materialized), the calibrated loss bound AND the
+            # exact-verified pair count land in the metrics table.
+            # `candidates_in` now counts band collisions (pre-distinct);
+            # the old distinct-candidate count would itself cost the
+            # O(candidates) exchange this change removes.
+            n_cand = int(bucket_sizes.agg(F.coalesce(
+                F.sum(F.col("bucket_n") * (F.col("bucket_n") - 1)),
+                F.lit(0)).alias("c")).collect()[0]["c"] // 2)
+            n_pref = pref.count()
+            _pt("lsh_prefiltered_pairs", None)
             loss_ppm = int(round(dedup.prefilter_true_pair_loss(
                 cfg.jaccard, dedup.PREFILTER_N, bar) * 1e6))
+            _pt("prefilter", pref)
             verified = dedup.ngram_jaccard_pairs(
                 shingles, pref, threshold=cfg.jaccard).persist()
             _cached.append(verified)
             n_ver = verified.count()
+            _pt("exact_verify")
             catalog.write_table(
                 spark.createDataFrame(
                     [("curate_minhash_prefilter", "candidates_in", n_cand),

@@ -150,6 +150,8 @@ def contamination_stats(docs: DataFrame, bench: DataFrame, n: int = 5,
     ``persist=True`` / ``scratch_path=`` make the window-build pass run
     ONCE instead of once per consumer (see _materialize) — at 100 TB pass
     one of them; the default recomputes the narrow subtree per consumer."""
+    from ..functions.partitioning import ensure_min_partitions
+    docs = ensure_min_partitions(docs)
     bgrams = F.broadcast(benchmark_ngrams(
         bench, n, bench_text_col if bench_text_col is not None else text_col,
         hash_impl=hash_impl))
@@ -231,6 +233,8 @@ def dup_span_stats(docs: DataFrame, n: int = 10, min_count: int = 2,
     # r6: n_windows narrowly from size(word_ngram_array) — see
     # contamination_stats; the exploded frame keeps TWO consumers
     # (dup-gram counts, hit counts) instead of three.
+    from ..functions.partitioning import ensure_min_partitions
+    docs = ensure_min_partitions(docs)
     ids = docs.select(F.col(id_col).alias("doc_id"),
                       F.size(word_ngram_array(F.col(text_col), n))
                       .cast("long").alias("n_windows"))

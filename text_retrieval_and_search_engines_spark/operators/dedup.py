@@ -257,6 +257,72 @@ def minhash_lsh_pairs(signatures: DataFrame, n_hashes: int = MINHASH_N,
     )
 
 
+def minhash_lsh_prefiltered_pairs(signatures: DataFrame,
+                                  min_matches: int,
+                                  n_hashes: int = MINHASH_N,
+                                  bands: int = LSH_BANDS,
+                                  max_bucket: int = DEFAULT_MAX_BUCKET,
+                                  drop_report: dict | None = None,
+                                  cache_registry: list | None = None
+                                  ) -> tuple[DataFrame, DataFrame]:
+    """Banded LSH candidates with the estimate prefilter applied INLINE in
+    the bucket self-join (r6, VERDICT r5 item 1 — the measured
+    scale-killer was the O(candidates) volume transiting exchanges:
+    139.5M collision pairs for 50k sf1.0 docs, 585.7M at the 530k run).
+
+    The band rows CARRY the full `_sig_width(signatures)`-wide signature
+    (a few hundred bytes per row, O(n x bands) rows), so the collision
+    volume is generated, match-counted and pruned inside the join
+    partitions: the old shape exchanged the collision pairs THREE times
+    (distinct, then two signature joins); this shape exchanges them ZERO
+    times — only the O(n) band rows and the O(true-near-dup) survivors
+    move. Returns ``(pairs, bucket_sizes)``:
+
+    * ``pairs`` — DISTINCT (doc_a, doc_b), exactly the set the
+      distinct-then-``sig_prefilter_pairs`` composition yields (same
+      mh components, same integer bar, so provably the same pairs);
+    * ``bucket_sizes`` — (band_id, band_key/band size) of CAP-SURVIVING
+      buckets, from which callers derive the collision volume as
+      sum(n*(n-1)/2) without ever materializing it.
+    """
+    width = _sig_width(signatures)
+    rows_per_band = n_hashes // bands
+    entries = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        entries.append(F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key")))
+    buckets = (signatures
+               .select("doc_id", *[f"mh_{j}" for j in range(width)],
+                       F.explode(F.array(*entries)).alias("_b"))
+               .select("doc_id", *[f"mh_{j}" for j in range(width)],
+                       F.col("_b.band_id").alias("band_id"),
+                       F.col("_b.band_key").alias("band_key")))
+    buckets = _cap_buckets(buckets, ["band_id", "band_key"], max_bucket,
+                           drop_report, cache_registry)
+    sizes = (buckets.groupBy("band_id", "band_key")
+             .agg(F.count("*").alias("bucket_n")))
+    left = buckets.select(F.col("doc_id").alias("doc_a"),
+                          *[F.col(f"mh_{j}").alias(f"_a{j}")
+                            for j in range(width)],
+                          "band_id", "band_key")
+    right = buckets.select(F.col("doc_id").alias("doc_b"),
+                           *[F.col(f"mh_{j}").alias(f"_b{j}")
+                             for j in range(width)],
+                           "band_id", "band_key")
+    matches = None
+    for j in range(width):
+        m = (F.col(f"_a{j}") == F.col(f"_b{j}")).cast("int")
+        matches = m if matches is None else matches + m
+    pairs = (left.join(right, ["band_id", "band_key"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .filter(matches >= F.lit(min_matches))
+             .select("doc_a", "doc_b").distinct())
+    return pairs, sizes
+
+
 def minhash_neardup_vs_base(new_sigs: DataFrame, base_sigs: DataFrame,
                             n_hashes: int = MINHASH_N,
                             bands: int = LSH_BANDS,
@@ -451,14 +517,14 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # array) — a (doc_id, term) group never spans rows, so the old
     # groupBy(doc_id, term) exchange was pure overhead (guide §2.4);
     # identical (doc_id, term, tf) multiset, ONE shuffle (the vote agg)
-    from ..plans.bm25_relational import array_term_tf
+    from ..plans.bm25_relational import explode_term_tf
     words = F.filter(F.split(normalize_text(F.col(text_col)),
                              r"[^a-z0-9]+"), lambda w: w != "")
     toks = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(array_term_tf(words)).alias("e"))
-        .select("doc_id", F.col("e.term").alias("term"),
-                F.col("e.tf").cast("long").alias("tf"))
+        explode_term_tf(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+            words, keep=("doc_id",))
+        .withColumn("tf", F.col("tf").cast("long"))
         .withColumn("h", h64(F.col("term"), "sh:"))
     )
     votes = [

@@ -66,6 +66,8 @@ def pii_features(docs: DataFrame, id_col: str = "doc_id",
     fuses into the corpus scan. ``keep`` passes input columns through so
     the stage chains into curation DAGs without a doc_id re-join
     (same contract as textstats.quality_features)."""
+    from ..functions.partitioning import ensure_min_partitions
+    docs = ensure_min_partitions(docs)
     counts = [
         F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
         .alias(f"n_{name}")

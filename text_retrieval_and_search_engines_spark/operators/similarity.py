@@ -15,57 +15,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a, b, dim: int | None = None):
-    """Dot product of two array columns. With ``dim`` the sum is STATICALLY
-    UNROLLED (0.0 + a[0]*b[0] + a[1]*b[1] + ...) — bit-identical to the
-    higher-order fold (same left-to-right float addition order, same 0.0
-    seed) but whole-stage-codegen-able, where Catalyst's lambda functions
-    evaluate interpreted per element (guide §4.1: prefer built-in
-    expressions; measured ~4x on the brute-force cosine scan). Without
-    ``dim`` it falls back to the fold."""
-    if dim is not None:
-        out = F.lit(0.0)
-        for i in range(dim):
-            out = out + F.get(a, i) * F.get(b, i)
-        return out
+def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def vec_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
-    """Embedding width from one row (a tiny limit-1 job)."""
-    row = emb.select(F.size(vec_col)).first()
-    return int(row[0]) if row else 0
-
-
-def with_norm(emb: DataFrame, vec_col: str = "embedding",
-              dim: int | None = None) -> DataFrame:
-    """Attach L2 norm (JVM-side; pass ``dim`` for the unrolled dot)."""
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach L2 norm (JVM-side)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return emb.withColumn("_vec", v).withColumn(
-        "_norm", F.sqrt(_dot(F.col("_vec"), F.col("_vec"), dim)))
+        "_norm", F.sqrt(_dot(F.col("_vec"), F.col("_vec"))))
 
 
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding",
-                dim: int | None = None) -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
     """Brute-force top-k cosine neighbors of each query vector.
 
     queries: (qid, embedding). Plan: broadcast queries x scan corpus ->
     dot/norms in codegen -> per-qid top-k window. At scale the corpus scan
     parallelizes perfectly; the broadcast holds only the query batch.
-    ``dim`` (auto-detected with one limit-1 job) unrolls the dot product.
     """
-    if dim is None:
-        dim = vec_dim(emb, vec_col) or None
-    c = with_norm(emb, vec_col, dim=dim).select(
+    c = with_norm(emb, vec_col).select(
         F.col(id_col).alias("nbr_id"), F.col("_vec").alias("cv"),
         F.col("_norm").alias("cn"))
-    q = with_norm(queries, vec_col, dim=dim).select(
+    q = with_norm(queries, vec_col).select(
         F.col("qid"), F.col("_vec").alias("qv"), F.col("_norm").alias("qn"))
     scored = (
         c.join(F.broadcast(q))
-        .withColumn("cosine", _dot(F.col("cv"), F.col("qv"), dim)
+        .withColumn("cosine", _dot(F.col("cv"), F.col("qv"))
                     / (F.col("cn") * F.col("qn")))
         .select("qid", "nbr_id", "cosine")
     )
@@ -245,11 +223,7 @@ def ivf_assignments(emb: DataFrame, cents: np.ndarray,
     argmax (ties then resolve to the lowest centroid_id — np.argmax takes
     the first maximum). Pins cell assignment across engines/summation
     orders; the `ivf_topk` oracle entry replays exactly this rule in SQL.
-
-    ``keep_vec`` passes the embedding column through the kernel unchanged
-    (same Arrow values), so a caller needing (vec_id, embedding,
-    centroid_id) — ivf_cosine_topk's per-call path — skips the corpus
-    self-join the id-only output would force (guide §2.4)."""
+    """
     from pyspark.sql import types as T
     c = cents  # closure-captured, broadcast with the task binary
 
@@ -317,18 +291,16 @@ def _ivf_query_cells(queries: DataFrame, cents: np.ndarray, n_probe: int,
 
 
 def _score_cells(corpus: DataFrame, queries: DataFrame, qcells: DataFrame,
-                 k: int, sim_round: int | None,
-                 dim: int | None = None) -> DataFrame:
+                 k: int, sim_round: int | None) -> DataFrame:
     """Shared IVF tail: join broadcast (query x probe-cell) rows against
-    the cell-restricted corpus, cosine in codegen, per-qid top-k window.
-    ``dim`` (known from the trained centroids) unrolls the dot product."""
-    c = with_norm(corpus, dim=dim).select("nbr_id", "centroid_id",
-                                          F.col("_vec").alias("cv"),
-                                          F.col("_norm").alias("cn"))
-    qq = (with_norm(queries, dim=dim).select("qid", F.col("_vec").alias("qv"),
-                                             F.col("_norm").alias("qn"))
+    the cell-restricted corpus, cosine in codegen, per-qid top-k window."""
+    c = with_norm(corpus).select("nbr_id", "centroid_id",
+                                 F.col("_vec").alias("cv"),
+                                 F.col("_norm").alias("cn"))
+    qq = (with_norm(queries).select("qid", F.col("_vec").alias("qv"),
+                                    F.col("_norm").alias("qn"))
           .join(qcells, "qid"))
-    cos = _dot(F.col("cv"), F.col("qv"), dim) / (F.col("cn") * F.col("qn"))
+    cos = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
     if sim_round is not None:
         cos = F.round(cos, sim_round)
     scored = (
@@ -368,14 +340,13 @@ def ivf_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         corpus = (emb.join(assignments, "vec_id")
                   .withColumnRenamed("vec_id", "nbr_id"))
     else:
-        # r6: the assignment kernel passes the embedding through, so no
-        # corpus self-join to re-attach vectors (guide §2.4)
+        # r6: the assignment kernel passes the embedding through
+        # (keep_vec), so no corpus self-join to re-attach vectors
         corpus = (ivf_assignments(emb, centroids, sim_round=sim_round,
                                   keep_vec=True)
                   .withColumnRenamed("vec_id", "nbr_id"))
     qcells = _ivf_query_cells(queries, centroids, n_probe, sim_round)
-    return _score_cells(corpus, queries, qcells, k, sim_round,
-                        dim=int(centroids.shape[1]))
+    return _score_cells(corpus, queries, qcells, k, sim_round)
 
 
 # catalog table names for the persisted IVF serving state
@@ -477,8 +448,7 @@ def ivf_serve_topk(spark, catalog, queries: DataFrame, k: int = 5,
     cells = (catalog.read_table(spark, IVF_CELLS_TABLE)
              .filter(F.col("centroid_id").isin(probed))
              .withColumnRenamed("vec_id", "nbr_id"))
-    return _score_cells(cells, queries, qcells_local, k, sim_round,
-                        dim=int(cents.shape[1]))
+    return _score_cells(cells, queries, qcells_local, k, sim_round)
 
 
 def lsh_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
@@ -505,28 +475,26 @@ def lsh_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     qb = lsh_buckets(queries.withColumnRenamed("qid", "vec_id"),
                      n_planes, seed, dim=dim).withColumnRenamed("vec_id", "qid")
     q = queries.join(qb, "qid")
-    c = with_norm(corpus, dim=dim).select("nbr_id", "bucket",
-                                          F.col("_vec").alias("cv"),
-                                          F.col("_norm").alias("cn"))
-    qq = with_norm(q, dim=dim).select("qid", "bucket",
-                                      F.col("_vec").alias("qv"),
-                                      F.col("_norm").alias("qn"))
+    c = with_norm(corpus).select("nbr_id", "bucket",
+                                 F.col("_vec").alias("cv"),
+                                 F.col("_norm").alias("cn"))
+    qq = with_norm(q).select("qid", "bucket", F.col("_vec").alias("qv"),
+                             F.col("_norm").alias("qn"))
     masks = [0]
     for r in range(1, max(0, n_probes) + 1):
         for combo in combinations(range(n_planes), r):
             masks.append(sum(1 << i for i in combo))
     probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
     qq = (qq.withColumn("bucket", F.explode(probes)))
-    return _score_buckets(c, qq, k, dim=dim)
+    return _score_buckets(c, qq, k)
 
 
-def _score_buckets(c: DataFrame, qq: DataFrame, k: int,
-                   dim: int | None = None) -> DataFrame:
+def _score_buckets(c: DataFrame, qq: DataFrame, k: int) -> DataFrame:
     """Shared LSH tail: bucket-join corpus x broadcast probe rows, cosine in
     codegen, per-qid top-k window."""
     scored = (
         c.join(F.broadcast(qq), "bucket")
-        .withColumn("cosine", _dot(F.col("cv"), F.col("qv"), dim)
+        .withColumn("cosine", _dot(F.col("cv"), F.col("qv"))
                     / (F.col("cn") * F.col("qn")))
         .select("qid", "nbr_id", "cosine")
     )
@@ -567,9 +535,9 @@ def lsh_cosine_topk_margin(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     cb = lsh_buckets(emb, n_planes, seed, dim=dim)
     corpus = emb.join(cb, "vec_id").withColumnRenamed("vec_id", "nbr_id")
-    c = with_norm(corpus, dim=dim).select("nbr_id", "bucket",
-                                          F.col("_vec").alias("cv"),
-                                          F.col("_norm").alias("cn"))
+    c = with_norm(corpus).select("nbr_id", "bucket",
+                                 F.col("_vec").alias("cv"),
+                                 F.col("_norm").alias("cn"))
 
     def probe_kernel(iterator):
         for pdf in iterator:
@@ -604,7 +572,7 @@ def lsh_cosine_topk_margin(emb: DataFrame, queries: DataFrame, k: int = 5,
         T.StructField("bucket", T.LongType())])
     probes = queries.select("qid", "embedding").mapInPandas(
         probe_kernel, schema=probe_schema)
-    qq = (with_norm(queries, dim=dim).select("qid", F.col("_vec").alias("qv"),
-                                             F.col("_norm").alias("qn"))
+    qq = (with_norm(queries).select("qid", F.col("_vec").alias("qv"),
+                                    F.col("_norm").alias("qn"))
           .join(probes, "qid"))
-    return _score_buckets(c, qq, k, dim=dim)
+    return _score_buckets(c, qq, k)

@@ -47,40 +47,56 @@ def term_frequencies(tokens: DataFrame) -> DataFrame:
     return tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
-def array_term_tf(tokens_array):
-    """array<struct<term,tf>> of distinct tokens + occurrence counts of an
-    array<string> column, computed INSIDE the row (sort + run-length over
-    the sorted array, all codegen): the per-doc (doc_id, term) -> tf
-    aggregation without the (doc_id, term)-keyed exchange — (doc, term)
-    groups never span rows, so shuffling them was pure overhead (guide
-    §2.4). Exact integer counts; multiset identical to exploding the array
-    and counting. Empty arrays yield empty pair arrays."""
-    s = F.array_sort(tokens_array)
-    n = F.size(s)
+def explode_term_tf(docs: DataFrame, tokens_array,
+                    keep: tuple[str, ...] = ()) -> DataFrame:
+    """(*keep, term, tf) rows: distinct tokens + occurrence counts per
+    input row, computed IN-ROW (sort + run-length over the sorted token
+    array) — the per-doc (doc_id, term) -> tf aggregation without the
+    (doc_id, term)-keyed exchange, since a (doc, term) group never spans
+    rows (guide §2.4). Exact integer counts; multiset identical to
+    exploding the array and counting.
+
+    Implementation note: each step is its OWN projection so the sorted
+    array / starts array bind as attributes. Folding everything into one
+    expression re-evaluates the array_sort subtree inside every lambda
+    call (Catalyst higher-order lambdas evaluate interpreted with no
+    common-subexpression elimination — measured as an O(w^2 log w)
+    per-row blowup). CollapseProject keeps multi-referenced non-cheap
+    producers un-inlined, so the staging survives optimization."""
+    d = docs.select(*keep, F.array_sort(tokens_array).alias("_s"))
+    d = d.select(*keep, "_s", F.size("_s").alias("_n"))
     starts = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: (i == F.lit(0)) | (F.get(s, i) != F.get(s, i - 1)))
+        F.sequence(F.lit(0), F.col("_n") - 1),
+        lambda i: (i == F.lit(0))
+        | (F.get(F.col("_s"), i) != F.get(F.col("_s"), i - 1)))
+    d = d.select(*keep, "_s", "_n",
+                 F.when(F.col("_n") > 0, starts)
+                 .otherwise(F.array().cast("array<int>")).alias("_st"))
     pairs = F.transform(
-        F.sequence(F.lit(0), F.size(starts) - 1),
+        F.sequence(F.lit(0), F.size("_st") - 1),
         lambda j: F.struct(
-            F.get(s, F.get(starts, j)).alias("term"),
-            (F.coalesce(F.get(starts, j + 1), n)
-             - F.get(starts, j)).alias("tf")))
-    return F.when(n > 0, pairs).otherwise(
-        F.array().cast("array<struct<term:string,tf:int>>"))
+            F.get(F.col("_s"), F.get(F.col("_st"), j)).alias("term"),
+            (F.coalesce(F.get(F.col("_st"), j + 1), F.col("_n"))
+             - F.get(F.col("_st"), j)).alias("tf")))
+    d = d.select(*keep,
+                 F.explode(F.when(F.size("_st") > 0, pairs)
+                           .otherwise(F.array().cast(
+                               "array<struct<term:string,tf:int>>")))
+                 .alias("_e"))
+    return d.select(*keep, F.col("_e.term").alias("term"),
+                    F.col("_e.tf").alias("tf"))
 
 
 def term_doc_stats(docs: DataFrame) -> DataFrame:
     """(term, df, cf) — value-identical to
     ``document_frequencies(term_frequencies(simple_tokens(docs)))`` but
-    with per-doc tf computed in-row (array_term_tf) so the ONLY exchange
+    with per-doc tf computed in-row (explode_term_tf) so the ONLY exchange
     is the term-keyed aggregate, whose map-side partial agg collapses each
     partition to its vocabulary (guide §2.3: the old plan exchanged every
     distinct (doc_id, term) pair, then exchanged again by term)."""
     words = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
                      lambda w: w != "")
-    return (docs.select(F.explode(array_term_tf(words)).alias("e"))
-            .select(F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
+    return (explode_term_tf(docs, words)
             .groupBy("term")
             .agg(F.count("*").alias("df"),
                  F.sum("tf").alias("cf")))
@@ -137,10 +153,13 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]], k: int = 10,
 
     words = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
                      lambda w: w != "")
-    # pass 1: collection stats + per-term presence in ONE aggregate job
-    stats = docs.select(
-        F.size(words).alias("_dl"),
-        *[F.array_contains(words, t).cast("int").alias(f"_p{i}")
+    # pass 1: collection stats + per-term presence in ONE aggregate job.
+    # The token array binds as its own projection first — referencing the
+    # split expression from every output column would re-tokenize the row
+    # once per column (no CSE across interpreted higher-order lambdas).
+    stats = docs.select(words.alias("_w")).select(
+        F.size("_w").alias("_dl"),
+        *[F.array_contains("_w", t).cast("int").alias(f"_p{i}")
           for i, t in enumerate(qterm_list)]
     ).agg(F.count("*").alias("n"), F.sum("_dl").alias("tot"),
           *[F.max(f"_p{i}").alias(f"_p{i}")
@@ -152,11 +171,13 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]], k: int = 10,
 
     qterms = spark.createDataFrame(qtok, "qid string, term string, weight double")
 
-    # pass 2: matched-occurrence tf + windowed df (query-term rows only)
+    # pass 2: matched-occurrence tf + windowed df (query-term rows only);
+    # token array staged as a column for the same single-tokenize reason
     tf_m = (
-        docs.select(F.col("doc_id"), F.size(words).alias("dl"),
-                    F.filter(words, lambda w: w.isin(qterm_list))
-                    .alias("_mw"))
+        docs.select(F.col("doc_id"), words.alias("_w"))
+        .select("doc_id", F.size("_w").alias("dl"),
+                F.filter(F.col("_w"), lambda w: w.isin(qterm_list))
+                .alias("_mw"))
         .filter(F.size("_mw") > 0)
         .select("doc_id", "dl", F.explode("_mw").alias("term"))
         .groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))

@@ -234,9 +234,16 @@ class Catalog:
                 if s["table"] == "_epochs":
                     tag = fp.rsplit(":", 1)[0]
                     return tag in old_tags
-                for prefix in ("append-delta:", "append:"):
+                # r6 (ADVICE r5): curated appends add per-epoch
+                # 'neardup-sigs:{tag}' and '{phase}-metrics:{tag}'
+                # markers too — without pruning them a long curated
+                # stream grows the manifest ~2 entries/epoch unbounded
+                # and snapshot_is_live scans it all every epoch.
+                for prefix in ("append-delta:", "append:", "neardup-sigs:"):
                     if fp.startswith(prefix):
                         return fp[len(prefix):] in old_tags
+                if "-metrics:" in fp:
+                    return fp.split("-metrics:", 1)[1] in old_tags
                 return False
 
             kept = [s for s in snaps if not is_old_epoch_entry(s)]
