@@ -38,10 +38,20 @@ from text_retrieval_and_search_engines_spark.sources.tables import Catalog  # no
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    # optional banding override "H/B" (e.g. 16/4) — the VERDICT r5 item-1
+    # A/B dial; default stays the oracle-pinned 8/4
+    band = sys.argv[2] if len(sys.argv) > 2 else None
+    cfg = CurateConfig()
+    if band:
+        h, b = (int(x) for x in band.split("/"))
+        cfg = CurateConfig(n_band_hashes=h, n_bands=b)
     spark = make_spark(CPUS)
     warmup(spark)
 
-    corpus_path = f"/tmp/curate_scale_{n_docs}.parquet"
+    # v2: versioned cache path (ADVICE r5) — the pmod fix changed the
+    # generated corpus, and the exists-check would silently reuse a stale
+    # signed-% corpus with ~1% instead of the documented 2% exact dups
+    corpus_path = f"/tmp/curate_scale_v2_{n_docs}.parquet"
     if not os.path.exists(corpus_path):
         base = synth_corpus(spark, n_docs, mean_tokens=60, n_partitions=32)
         # pmod, not %: Spark's % keeps the dividend's sign, so a nonzero
@@ -65,7 +75,7 @@ def main() -> None:
     catalog = Catalog(root)
     t0 = time.perf_counter()
     _, stats = curate_corpus(
-        spark, docs, catalog, CurateConfig(),
+        spark, docs, catalog, cfg,
         id_col="url", text_col="text",
         out_path="/dev/shm/curate_scale_out.parquet")
     wall = time.perf_counter() - t0

@@ -210,3 +210,35 @@ def test_lsh_prefiltered_pairs_kernel_matches_join(spark, monkeypatch):
     assert out["kernel"][0] == out["join"][0]
     assert out["kernel"][1] == out["join"][1]
     assert len(out["kernel"][0]) >= 20      # the tight clusters survive
+
+
+def test_lsh_prefiltered_pairs_kernel_string_ids(spark, monkeypatch):
+    """String doc ids (the curate-by-url path) go through the kernel's
+    fixed-width-bytes branch; pair set and orientation (a < b in UTF8
+    byte order — orientation picks the DROPPED doc) match the join."""
+    import random
+
+    from text_retrieval_and_search_engines_spark.operators import dedup
+
+    rng = random.Random(11)
+    width = dedup.PREFILTER_N
+    rows = []
+    for c in range(12):
+        base = [rng.getrandbits(40) for _ in range(width)]
+        # url and its longer '?near' twin: prefix ordering must hold
+        rows.append((f"https://x/{c:04d}", *base))
+        rows.append((f"https://x/{c:04d}?near", *base))
+    schema = ("doc_id string, "
+              + ", ".join(f"mh_{j} long" for j in range(width)))
+    sigs = spark.createDataFrame(rows, schema)
+    bar = dedup.prefilter_min_matches(0.8, width)
+    out = {}
+    for impl in ("kernel", "join"):
+        monkeypatch.setattr(dedup, "_PAIR_IMPL", impl)
+        pairs, _ = dedup.minhash_lsh_prefiltered_pairs(sigs,
+                                                       min_matches=bar)
+        out[impl] = sorted((r["doc_a"], r["doc_b"])
+                           for r in pairs.collect())
+    assert out["kernel"] == out["join"]
+    assert len(out["kernel"]) == 12
+    assert all(a < b for a, b in out["kernel"])

@@ -47,6 +47,15 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _docs(spark, sf_dir):
+    # plain read: light narrow ops lose more to the round-robin exchange
+    # than they gain in parallelism (measured in-suite: lang_id/quality/
+    # token_count/source_mix each +0.1-0.3 s with it); the tokenize-heavy
+    # entries opt into _docs_par, and the hygiene/curate OPERATORS ensure
+    # their own input parallelism internally
+    return _t(spark, sf_dir, "documents")
+
+
+def _docs_par(spark, sf_dir):
     return _tp(spark, sf_dir, "documents")
 
 
@@ -58,7 +67,7 @@ def _docs_small(spark, sf_dir):
 
 # events -> passages(qid, docid, passage_idx, score)
 def _passages(spark, sf_dir):
-    ev = _tp(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
     return ev.select(
         F.col("event_type").alias("qid"),
@@ -81,7 +90,7 @@ FROM events
 # (the old 3-way union aggregated the events table three times — guide
 # §2.4); identical rows/values/types.
 def _runs(spark, sf_dir):
-    ev = _tp(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     g = (ev.groupBy(F.col("event_type").alias("qid"),
                     F.col("user_id").alias("docid"))
          .agg(F.count("*").cast("double").alias("_c"),
@@ -107,7 +116,7 @@ SELECT 'r3', event_type, user_id, min(value) FROM events GROUP BY 2, 3
 
 
 def _qrels(spark, sf_dir):
-    ev = _tp(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     return ev.select(
         F.col("event_type").alias("qid"), F.col("user_id").alias("docid"),
         (F.col("user_id") % 3).cast("int").alias("rel")).distinct()
@@ -123,7 +132,7 @@ def _run2(spark, sf_dir):
     # r6: direct single aggregate (the old filter over the unioned _runs
     # relied on Catalyst union-branch pruning; the exploded _runs shape
     # would compute all three aggregates first)
-    ev = _tp(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     return (ev.groupBy(F.col("event_type").alias("qid"),
                        F.col("user_id").alias("docid"))
             .agg(F.max("value").alias("score"))
@@ -143,17 +152,18 @@ NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # ---------------------------------------------------------------------------
 
 def q_bm25_topk(spark, sf_dir):
-    return bm25.bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
+    return bm25.bm25_topk(_docs_par(spark, sf_dir), BM25_QUERIES, k=10)
 
 
 def q_bm25_and(spark, sf_dir):
-    return bm25.bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10, mode="and")
+    return bm25.bm25_topk(_docs_par(spark, sf_dir), BM25_QUERIES, k=10,
+                          mode="and")
 
 
 def q_term_stats(spark, sf_dir):
     # r6: in-row run-length tf (array_term_tf) — one term-keyed exchange
     # instead of (doc_id, term) pairs + term; identical integer df/cf
-    return (bm25.term_doc_stats(_docs(spark, sf_dir))
+    return (bm25.term_doc_stats(_docs_par(spark, sf_dir))
             .orderBy(F.desc("df"), F.asc("term")).limit(50))
 
 
@@ -166,7 +176,7 @@ ORDER BY df DESC, term ASC LIMIT 50
 
 
 def q_collection_stats(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     n_docs = docs.count()
     # r6: token total from sum(size(tokens)) — same value as counting
     # exploded rows, no explode pass (guide §2.3 narrow aggregation)
@@ -380,7 +390,7 @@ SELECT qid, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 def q_embedding_neardup(spark, sf_dir):
-    emb = _tp(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
     c = similarity.with_norm(emb).select(
         F.col("vec_id").alias("id"), F.col("_vec").alias("v"),
         F.col("_norm").alias("n"))
@@ -718,7 +728,7 @@ def q_trec_format(spark, sf_dir):
     from .sources.trec_io import format_run
     # r6: direct r1 aggregate (see _run2 — avoids computing the other two
     # aggregates behind the exploded _runs shape)
-    ev = _tp(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     r1 = (ev.groupBy(F.col("event_type").alias("qid"),
                      F.col("user_id").alias("docid"))
           .agg(F.count("*").cast("double").alias("score")))
@@ -943,7 +953,7 @@ def _engine_reader(spark, sf_dir):
         catalog = Catalog(root)
         cfg = IndexConfig(range_size=4096, analyzer="simple", langs=(),
                           recompute_text=False, materialize_docs=False)
-        corpus = _docs(spark, sf_dir).select(
+        corpus = _docs_par(spark, sf_dir).select(
             F.format_string("doc%012d", F.col("doc_id")).alias("url"), "text")
         build_index(spark, corpus, catalog, cfg, input_fp=sf_dir)
         _ENGINE_CACHE[sf_dir] = IndexReader(spark, catalog)

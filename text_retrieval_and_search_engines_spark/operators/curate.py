@@ -58,6 +58,13 @@ class CurateConfig:
     max_top_bigram_frac: float = 0.3  # Gopher-style repetition ceiling
     near: str = "minhash"           # "minhash" | "simhash" | "none"
     jaccard: float = 0.8            # minhash verify threshold
+    # banding-signature shape (r6, VERDICT r5 item 1): defaults are the
+    # oracle-pinned 8 hashes / 4 bands; the 530k A/B runs 16/4 (4 rows
+    # per band) to cut collision probability on Zipf-head shingles —
+    # see BENCH.md round-6. Changing these changes WHICH candidate pairs
+    # exist (recall), so the pinned defaults stay for the gated entry.
+    n_band_hashes: int = dedup.MINHASH_N
+    n_bands: int = dedup.LSH_BANDS
     prefilter_max_loss: float = 2e-3  # estimate-prefilter loss bound (the
     # probability a TRUE threshold-Jaccard pair skips exact verification;
     # drives the match-count bar via dedup.prefilter_min_matches)
@@ -168,13 +175,15 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
         # build side each, not a corpus re-scan.
         n_contam = 0
         if bench is not None:
-            # persist=True: the O(tokens) window frame is built once, not
-            # once per consumer (VERDICT r4 item 1); released via _cached
+            # r6 (VERDICT r5 item 4 + this round's narrow n_windows):
+            # the exploded window frame now has ONE consumer (the hit
+            # counts — per-doc totals are a narrow expression), so
+            # persisting it is pure overhead; recompute-mode measured
+            # faster already at r5 (+8% for persist)
             contam = (decontam.contamination_stats(
                           kept, bench, n=cfg.decontam_ngram,
                           id_col="doc_id", text_col=text_col,
-                          bench_text_col=bench_text_col,
-                          persist=True, cache_registry=_cached)
+                          bench_text_col=bench_text_col)
                       .filter(F.col("contaminated") == 1)
                       .select("doc_id").persist())
             _cached.append(contam)
@@ -238,7 +247,9 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, catalog,
             # pairs, losers and curated output are value-identical.
             cap_report: dict = {}
             pref, bucket_sizes = dedup.minhash_lsh_prefiltered_pairs(
-                est_sigs, min_matches=bar, max_bucket=cfg.max_bucket,
+                est_sigs, min_matches=bar,
+                n_hashes=cfg.n_band_hashes, bands=cfg.n_bands,
+                max_bucket=cfg.max_bucket,
                 drop_report=cap_report, cache_registry=_cached)
             dedup.record_drop_report(spark, catalog, cap_report,
                                      "curate_minhash_lsh")

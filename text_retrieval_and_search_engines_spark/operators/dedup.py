@@ -315,8 +315,10 @@ def minhash_lsh_prefiltered_pairs(signatures: DataFrame,
              .agg(F.count("*").alias("bucket_n")))
 
     id_type = signatures.schema["doc_id"].dataType
-    numeric_ids = isinstance(id_type, (T.LongType, T.IntegerType))
-    if _PAIR_IMPL == "kernel" and numeric_ids:
+    kernel_ids = isinstance(id_type,
+                            (T.LongType, T.IntegerType, T.StringType))
+    string_ids = isinstance(id_type, T.StringType)
+    if _PAIR_IMPL == "kernel" and kernel_ids:
         # Arrow group-walk over buckets: per bucket a (n, width) int64
         # matrix; pairwise match counts come from ONE vectorized numpy
         # comparison per row block instead of per-candidate UnsafeRow
@@ -328,9 +330,10 @@ def minhash_lsh_prefiltered_pairs(signatures: DataFrame,
         # copies. The repartition matches the cap window's hash
         # partitioning, so no extra exchange when the cap ran.
         bar = int(min_matches)
+        id_expr = (F.col("doc_id") if string_ids
+                   else F.col("doc_id").cast("long"))
         packed = buckets.select(
-            "band_id", "band_key",
-            F.col("doc_id").cast("long").alias("doc_id"),
+            "band_id", "band_key", id_expr.alias("doc_id"),
             F.array(*[f"mh_{j}" for j in range(width)]).alias("sig"))
         n_shuffle = int(signatures.sparkSession.conf.get(
             "spark.sql.shuffle.partitions"))
@@ -346,10 +349,22 @@ def minhash_lsh_prefiltered_pairs(signatures: DataFrame,
             out_b: list = []
 
             def drain():
-                batch = pa.RecordBatch.from_arrays([
-                    pa.array(np.concatenate(out_a), type=pa.int64()),
-                    pa.array(np.concatenate(out_b), type=pa.int64()),
-                ], names=["doc_a", "doc_b"])
+                a = np.concatenate(out_a)
+                b = np.concatenate(out_b)
+                if string_ids:
+                    # fixed-width bytes back to str (survivors only —
+                    # tiny after the bar filter)
+                    batch = pa.RecordBatch.from_arrays([
+                        pa.array([x.decode() for x in a],
+                                 type=pa.string()),
+                        pa.array([x.decode() for x in b],
+                                 type=pa.string()),
+                    ], names=["doc_a", "doc_b"])
+                else:
+                    batch = pa.RecordBatch.from_arrays([
+                        pa.array(a, type=pa.int64()),
+                        pa.array(b, type=pa.int64()),
+                    ], names=["doc_a", "doc_b"])
                 out_a.clear(), out_b.clear()
                 return batch
 
@@ -383,8 +398,17 @@ def minhash_lsh_prefiltered_pairs(signatures: DataFrame,
                     zero_copy_only=False)
                 bkeys = batch.column(idx("band_key")).to_numpy(
                     zero_copy_only=False)
-                docs_a = batch.column(idx("doc_id")).to_numpy(
-                    zero_copy_only=False).astype(np.int64)
+                if string_ids:
+                    # fixed-width bytes: elementwise a < b matches
+                    # Spark's unsigned byte-wise UTF8 order for the
+                    # ASCII ids this path carries (trailing NUL pads
+                    # sort before any byte, preserving prefix order)
+                    docs_a = np.asarray(
+                        batch.column(idx("doc_id")).to_pylist(),
+                        dtype=np.bytes_)
+                else:
+                    docs_a = batch.column(idx("doc_id")).to_numpy(
+                        zero_copy_only=False).astype(np.int64)
                 sig_col = batch.column(idx("sig"))
                 flat = sig_col.flatten().to_numpy(
                     zero_copy_only=False).astype(np.int64)
@@ -410,8 +434,9 @@ def minhash_lsh_prefiltered_pairs(signatures: DataFrame,
             if out_a:
                 yield drain()
 
-        raw = parted.mapInArrow(pair_kernel,
-                                schema="doc_a long, doc_b long")
+        out_schema = ("doc_a string, doc_b string" if string_ids
+                      else "doc_a long, doc_b long")
+        raw = parted.mapInArrow(pair_kernel, schema=out_schema)
         pairs = raw.distinct()
         if isinstance(id_type, T.IntegerType):
             pairs = pairs.select(F.col("doc_a").cast("int").alias("doc_a"),
