@@ -242,3 +242,46 @@ def test_lsh_prefiltered_pairs_kernel_string_ids(spark, monkeypatch):
     assert out["kernel"] == out["join"]
     assert len(out["kernel"]) == 12
     assert all(a < b for a, b in out["kernel"])
+
+
+def test_vs_base_kernel_matches_join(spark, monkeypatch):
+    """r6: the two-sided (new x base) pair kernel produces the identical
+    (doc_a, doc_b, est_matches) set as the join shape, string ids
+    included (the append path's url keys)."""
+    import random
+
+    from text_retrieval_and_search_engines_spark.operators import dedup
+
+    rng = random.Random(5)
+    width = dedup.PREFILTER_N
+
+    def sig_rows(prefix, n, bases):
+        rows = []
+        for i in range(n):
+            if i < len(bases):           # near-dup of base i: high overlap
+                sig = list(bases[i])
+                for j in rng.sample(range(8, width), 6):
+                    sig[j] = rng.getrandbits(40)
+            else:
+                sig = [rng.getrandbits(40) for _ in range(width)]
+            rows.append((f"{prefix}{i:05d}", *sig))
+        return rows
+
+    base_sigs_py = [[rng.getrandbits(40) for _ in range(width)]
+                    for _ in range(15)]
+    schema = ("doc_id string, "
+              + ", ".join(f"mh_{j} long" for j in range(width)))
+    base = spark.createDataFrame(
+        [(f"base{i:05d}", *s) for i, s in enumerate(base_sigs_py)]
+        + sig_rows("basex", 25, []), schema)
+    new = spark.createDataFrame(sig_rows("new", 30, base_sigs_py[:10]),
+                                schema)
+    bar = dedup.prefilter_min_matches(0.8, width)
+    out = {}
+    for impl in ("kernel", "join"):
+        monkeypatch.setattr(dedup, "_PAIR_IMPL", impl)
+        df = dedup.minhash_neardup_vs_base(new, base, min_matches=bar)
+        out[impl] = sorted((r["doc_a"], r["doc_b"], r["est_matches"])
+                           for r in df.collect())
+    assert out["kernel"] == out["join"]
+    assert len(out["kernel"]) >= 8       # the planted near-dups matched

@@ -424,14 +424,12 @@ def filter_appended_neardups(spark: SparkSession, batch: DataFrame, catalog,
         near_base = vs_base.select(F.col("doc_a").alias("doc_id")).distinct()
 
         within_report: dict = {}
-        within = dedup.sig_prefilter_pairs(
-            dedup.minhash_lsh_pairs(
-                new_sigs.select(
-                    "doc_id",
-                    *[f"mh_{j}" for j in range(dedup.MINHASH_N)]),
-                max_bucket=max_bucket, drop_report=within_report,
-                cache_registry=_caches),
-            new_sigs, bar)
+        # r6: inline-prefiltered kernel shape (same pair set as the old
+        # distinct -> sig_prefilter composition — see
+        # minhash_lsh_prefiltered_pairs)
+        within, _wsizes = dedup.minhash_lsh_prefiltered_pairs(
+            new_sigs, min_matches=bar, max_bucket=max_bucket,
+            drop_report=within_report, cache_registry=_caches)
         near_within = within.select(F.col("doc_b").alias("doc_id")).distinct()
 
         drop_base = near_base.persist()

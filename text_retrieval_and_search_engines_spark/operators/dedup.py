@@ -487,9 +487,160 @@ def minhash_neardup_vs_base(new_sigs: DataFrame, base_sigs: DataFrame,
     shingles are not retained at scale, so exact Jaccard re-verification
     belongs to the next full curate_corpus run. `max_bucket` caps the
     BASE side's degenerate buckets (the batch side is small)."""
+    from pyspark.sql import types as T
     width = min(_sig_width(new_sigs), _sig_width(base_sigs))
     if min_matches is None:
         min_matches = prefilter_min_matches(threshold, width, max_loss)
+
+    def band_rows_wide(sigs):
+        rows_per_band = n_hashes // bands
+        entries = []
+        for bd in range(bands):
+            cols = [F.col(f"mh_{bd * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)]
+            entries.append(F.struct(
+                F.lit(bd).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key")))
+        return (sigs
+                .select("doc_id", *[f"mh_{j}" for j in range(width)],
+                        F.explode(F.array(*entries)).alias("_b"))
+                .select("doc_id", *[f"mh_{j}" for j in range(width)],
+                        F.col("_b.band_id").alias("band_id"),
+                        F.col("_b.band_key").alias("band_key")))
+
+    id_type = new_sigs.schema["doc_id"].dataType
+    same_ids = id_type == base_sigs.schema["doc_id"].dataType
+    string_ids = isinstance(id_type, T.StringType)
+    kernel_ok = same_ids and isinstance(
+        id_type, (T.LongType, T.IntegerType, T.StringType))
+    if _PAIR_IMPL == "kernel" and kernel_ok:
+        # r6: two-sided variant of the minhash_lsh_prefiltered_pairs
+        # kernel — band rows carry the signature AND a side tag, so the
+        # new x base collision volume is generated, match-counted and
+        # bar-filtered inside the bucket partitions; the O(collisions)
+        # distinct + two signature joins of the old shape never move
+        # any exchange. Same (doc_a, doc_b, est_matches) set.
+        bar = int(min_matches)
+        id_expr = (F.col("doc_id") if string_ids
+                   else F.col("doc_id").cast("long"))
+        nw = band_rows_wide(new_sigs).withColumn("side", F.lit(0))
+        bw = _cap_buckets(band_rows_wide(base_sigs),
+                          ["band_id", "band_key"], max_bucket, drop_report,
+                          cache_registry).withColumn("side", F.lit(1))
+        packed = nw.unionByName(bw).select(
+            "band_id", "band_key", "side", id_expr.alias("doc_id"),
+            F.array(*[f"mh_{j}" for j in range(width)]).alias("sig"))
+        n_shuffle = int(new_sigs.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        parted = (packed.repartition(n_shuffle, "band_id", "band_key")
+                  .sortWithinPartitions("band_id", "band_key"))
+
+        def pair_kernel(batches):
+            import pyarrow as pa
+            ids_buf: list = []
+            sig_buf: list = []
+            side_buf: list = []
+            cur = None
+            out_a: list = []
+            out_b: list = []
+            out_m: list = []
+
+            def drain():
+                a = np.concatenate(out_a)
+                b = np.concatenate(out_b)
+                m = np.concatenate(out_m)
+                if string_ids:
+                    cols = [pa.array([x.decode() for x in a],
+                                     type=pa.string()),
+                            pa.array([x.decode() for x in b],
+                                     type=pa.string())]
+                else:
+                    cols = [pa.array(a, type=pa.int64()),
+                            pa.array(b, type=pa.int64())]
+                cols.append(pa.array(m.astype(np.int32), type=pa.int32()))
+                batch = pa.RecordBatch.from_arrays(
+                    cols, names=["doc_a", "doc_b", "est_matches"])
+                out_a.clear(), out_b.clear(), out_m.clear()
+                return batch
+
+            def flush_bucket():
+                if not ids_buf:
+                    return
+                ids = np.concatenate(ids_buf)
+                sigs = np.vstack(sig_buf)
+                sides = np.concatenate(side_buf)
+                ids_buf.clear(), sig_buf.clear(), side_buf.clear()
+                new_m = sides == 0
+                base_m = ~new_m
+                if not new_m.any() or not base_m.any():
+                    return
+                a_ids, a_sigs = ids[new_m], sigs[new_m]
+                b_ids, b_sigs = ids[base_m], sigs[base_m]
+                nb_rows = b_ids.size
+                blk = max(1, 2_000_000 // max(nb_rows, 1))
+                for i0 in range(0, a_ids.size, blk):
+                    eq = (a_sigs[i0:i0 + blk, None, :]
+                          == b_sigs[None, :, :]).sum(axis=2)
+                    ia, ib = np.nonzero(eq >= bar)
+                    pa_ids = a_ids[i0 + ia]
+                    pb_ids = b_ids[ib]
+                    keep = pa_ids != pb_ids
+                    if keep.any():
+                        out_a.append(pa_ids[keep])
+                        out_b.append(pb_ids[keep])
+                        out_m.append(eq[ia, ib][keep])
+
+            for batch in batches:
+                idx = batch.schema.get_field_index
+                bids = batch.column(idx("band_id")).to_numpy(
+                    zero_copy_only=False)
+                bkeys = batch.column(idx("band_key")).to_numpy(
+                    zero_copy_only=False)
+                sides_a = batch.column(idx("side")).to_numpy(
+                    zero_copy_only=False)
+                if string_ids:
+                    docs_a = np.asarray(
+                        batch.column(idx("doc_id")).to_pylist(),
+                        dtype=np.bytes_)
+                else:
+                    docs_a = batch.column(idx("doc_id")).to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                flat = batch.column(idx("sig")).flatten().to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                sigs = flat.reshape(-1, width)
+                n = len(docs_a)
+                if n == 0:
+                    continue
+                change = np.flatnonzero(
+                    (bids[1:] != bids[:-1]) | (bkeys[1:] != bkeys[:-1])) + 1
+                bounds = np.concatenate(([0], change, [n]))
+                for gi in range(len(bounds) - 1):
+                    lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+                    key = (bids[lo], bkeys[lo])
+                    if cur is not None and cur != key:
+                        flush_bucket()
+                    cur = key
+                    ids_buf.append(docs_a[lo:hi])
+                    sig_buf.append(sigs[lo:hi])
+                    side_buf.append(sides_a[lo:hi])
+                if out_a and sum(x.size for x in out_a) >= 1_000_000:
+                    yield drain()
+            flush_bucket()
+            if out_a:
+                yield drain()
+
+        id_sql = "string" if string_ids else "long"
+        raw = parted.mapInArrow(
+            pair_kernel,
+            schema=f"doc_a {id_sql}, doc_b {id_sql}, est_matches int")
+        pairs = raw.distinct()
+        if isinstance(id_type, T.IntegerType):
+            pairs = pairs.select(
+                F.col("doc_a").cast("int").alias("doc_a"),
+                F.col("doc_b").cast("int").alias("doc_b"),
+                "est_matches")
+        return pairs
+
     nb = (_band_buckets(new_sigs, n_hashes, bands)
           .withColumnRenamed("doc_id", "doc_a"))
     bb = _cap_buckets(_band_buckets(base_sigs, n_hashes, bands),
